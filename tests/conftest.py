@@ -1,0 +1,34 @@
+"""Test configuration: run everything on CPU with 8 virtual devices so the
+multi-chip sharding paths are exercised without TPU hardware, and enable x64
+for the fp64 parity tests (the reference ships fp32 and fp64 examples).
+
+Pallas kernels run in interpret mode on CPU (selected inside the tests /
+backends); on a real TPU the same tests compile natively.
+"""
+
+import os
+
+# Force CPU (override any ambient JAX_PLATFORMS): the suite must run without
+# TPU hardware. Set TPCG_TEST_TPU=1 to run on whatever platform is ambient.
+if not os.environ.get("TPCG_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+if not os.environ.get("TPCG_TEST_TPU"):
+    # The ambient environment may have pre-registered a TPU platform via
+    # sitecustomize; the config update wins over the env var.
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

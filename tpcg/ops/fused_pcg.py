@@ -1,0 +1,189 @@
+"""The fused persistent PCG solve kernel.
+
+TPU-native equivalent of the reference's single cooperative-groups kernel
+(/root/reference/include/pcg.cuh:54-218): the *entire* solve — residual init,
+preconditioner applies, both dot products, AXPYs, and the absolute
+``|eta_new| < exit_tol`` convergence exit — runs in ONE ``pallas_call``, with
+a ``lax.while_loop`` inside the kernel replacing the persistent loop + the 7
+``grid.sync()`` barriers (SURVEY.md §5.8). On a TPU core the dataflow is
+sequential, so every barrier, halo spill (pcg.cuh:125,139,175,205), and
+hand-rolled global-memory all-reduce (pcg.cuh:144-149,163-169,187-193) simply
+vanishes: partial dots are a VPU reduction, halos are lane shifts.
+
+Layout: everything lane-major — blocks ``(3, n, n, K)``, vectors ``(n, K)`` —
+so the knot axis (large: 32..512) sits on the 128-wide lane dimension and the
+tiny ``state_size`` axis (2..14) on sublanes. Every op in the iteration then
+vectorizes over knots, which is the same work distribution as the reference's
+one-thread-block-per-knot decomposition (interface.cuh:132), minus the
+synchronization. HBM traffic per solve is one read of S/Pinv/gamma/lam0 and
+one write of lam: all iteration state lives in VMEM/registers, the analog of
+the reference keeping its working set in shared memory (pcg.cuh:79-96).
+
+Early exit: ``lax.while_loop`` predicated on
+``(iter < max_iter) & ~converged`` reproduces pcg.cuh:154,195 exactly,
+including the reference's update of lambda/r on the converging pass and its
+``iter+1`` reporting semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpcg.ops.bdmv import bdmv_lane_major
+
+
+def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
+                lam_ref, iters_ref, conv_ref, eta_ref,
+                *, n, K, max_iter, identity_pinv):
+    """Kernel body. ``pinv_ref is S_ref`` when identity_pinv (arg unused)."""
+    S = S_ref[:, :, :, :]
+    gamma = gamma_ref[:, :]
+    lam0 = lam0_ref[:, :]
+    tol = tol_ref[0]
+
+    if identity_pinv:
+        apply_pinv = lambda v: v
+    else:
+        Pinv = pinv_ref[:, :, :, :]
+        apply_pinv = lambda v: bdmv_lane_major(Pinv, v, n=n, K=K)
+
+    mv = lambda v: bdmv_lane_major(S, v, n=n, K=K)
+    vdot = lambda a, b: jnp.sum(a * b)
+
+    # --- init: r = gamma - S lam0 ; r_tilde = Pinv r ; p = r_tilde ;
+    #           eta = r . r_tilde   (pcg.cuh:118-149) ---
+    r = gamma - mv(lam0)
+    rt = apply_pinv(r)
+    p = rt
+    eta = vdot(r, rt)
+
+    def cond(c):
+        _lam, _r, _p, _eta, iters, converged = c
+        return jnp.logical_and(iters < max_iter, jnp.logical_not(converged))
+
+    def body(c):
+        lam, r, p, eta, iters, _ = c
+        ups = mv(p)                              # upsilon = S p
+        alpha = eta / vdot(p, ups)               # pcg.cuh:163-169
+        lam = lam + alpha * p                    # pcg.cuh:172-176
+        r = r - alpha * ups
+        rt = apply_pinv(r)                       # pcg.cuh:181-184
+        eta_new = vdot(r, rt)                    # pcg.cuh:187-193
+        converged = jnp.abs(eta_new) < tol       # pcg.cuh:195
+        beta = eta_new / eta                     # pcg.cuh:199-206 (dead when
+        p = rt + beta * p                        #  converged — loop exits)
+        return (lam, r, p, eta_new, iters + 1, converged)
+
+    init = (lam0, r, p, eta, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    lam, r, p, eta, iters, converged = jax.lax.while_loop(cond, body, init)
+
+    lam_ref[:, :] = lam
+    iters_ref[0] = iters
+    conv_ref[0] = converged.astype(jnp.int32)
+    eta_ref[0] = eta
+
+
+def _scalar_spec():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_iter", "interpret"))
+def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
+                         exit_tol, max_iter: int, interpret: bool = False):
+    """Run the fused solve on lane-major inputs.
+
+    Args:
+      S_lm: ``(3, n, n, K)`` float32.
+      Pinv_lm: ``(3, n, n, K)`` or ``None`` for the identity-preconditioner
+        fast path (implemented for real here; the reference's ``empty_pinv``
+        never was — SURVEY.md §3.1).
+      gamma_lm, lam0_lm: ``(n, K)``.
+    Returns:
+      ``(lam_lm (n, K), iters (), converged (), eta ())``.
+    """
+    _, n, _, K = S_lm.shape
+    dtype = S_lm.dtype
+    identity_pinv = Pinv_lm is None
+    if identity_pinv:
+        Pinv_lm = S_lm  # placeholder operand; unused by the kernel
+
+    tol = jnp.asarray([exit_tol], dtype=dtype)
+
+    kernel = functools.partial(_pcg_kernel, n=n, K=K, max_iter=max_iter,
+                               identity_pinv=identity_pinv)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    lam, iters, conv, eta = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, K), dtype),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1,), dtype),
+        ),
+        in_specs=[_scalar_spec(), vmem, vmem, vmem, vmem],
+        out_specs=(vmem, _scalar_spec(), _scalar_spec(), _scalar_spec()),
+        interpret=interpret,
+    )(tol, S_lm, Pinv_lm, gamma_lm, lam0_lm)
+    return lam, iters[0], conv[0] != 0, eta[0]
+
+
+def _pcg_batched_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
+                        lam_ref, iters_ref, conv_ref, eta_ref,
+                        *, n, K, max_iter, identity_pinv):
+    """Grid-over-batch variant: one grid step = one full solve. Pallas grid
+    steps run sequentially on a core, mirroring how independent MPC systems
+    would queue on the reference's single GPU — but with S/Pinv block DMA
+    double-buffered across steps by the Pallas pipeline."""
+    _pcg_kernel(tol_ref,
+                S_ref.at[0], pinv_ref.at[0], gamma_ref.at[0], lam0_ref.at[0],
+                lam_ref.at[0], iters_ref, conv_ref, eta_ref,
+                n=n, K=K, max_iter=max_iter, identity_pinv=identity_pinv)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
+def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
+                                 exit_tol, max_iter: int,
+                                 interpret: bool = False):
+    """Batched fused solve: leading batch axis B on all operands.
+
+    ``S_lm (B, 3, n, n, K)``, vectors ``(B, n, K)``. Returns per-system
+    ``(lam (B, n, K), iters (B,), converged (B,), eta (B,))``.
+    """
+    B, _, n, _, K = S_lm.shape
+    dtype = S_lm.dtype
+    identity_pinv = Pinv_lm is None
+    if identity_pinv:
+        Pinv_lm = S_lm
+
+    tol = jnp.asarray([exit_tol], dtype=dtype)
+    kernel = functools.partial(_pcg_batched_kernel, n=n, K=K,
+                               max_iter=max_iter,
+                               identity_pinv=identity_pinv)
+
+    def block(shape):
+        return pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),
+                            memory_space=pltpu.VMEM)
+
+    smem_out = pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM)
+    lam, iters, conv, eta = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, n, K), dtype),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((B,), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  block((3, n, n, K)), block((3, n, n, K)),
+                  block((n, K)), block((n, K))],
+        out_specs=(block((n, K)), smem_out, smem_out, smem_out),
+        interpret=interpret,
+    )(tol, S_lm, Pinv_lm, gamma_lm, lam0_lm)
+    return lam, iters, conv != 0, eta

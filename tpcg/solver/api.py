@@ -1,0 +1,216 @@
+"""Public solver API.
+
+TPU-native replacement for the reference's three ``solvePCG`` overloads
+(/root/reference/include/interface.cuh:9-144):
+
+* :func:`pcg_solve` — the general entry point. Plays the role of both the
+  dense convenience overload (interface.cuh:25-89) and the device-pointer
+  expert overload (interface.cuh:93-144): under jit, inputs are already
+  device-resident and stay resident, so the two collapse into one function.
+* :func:`solve_reference_flat` — signature-parity shim accepting the
+  reference's flat column-major-block layout
+  (``solvePCG(h_S, h_gamma, h_lambda, stateSize, knotPoints, config)``).
+* :class:`PCGSolver` — the MPC expert path (SURVEY.md §3.3): pre-lowers the
+  jitted solve for fixed shapes so per-step latency excludes tracing, and
+  keeps problem data device-resident across receding-horizon steps.
+* :func:`pcg_solve_batched` — N independent systems at once (parallel MPC),
+  the capability the reference lacks (SURVEY.md §2, BASELINE.md config 5).
+
+The CSR entry point the reference stubbed out with ``exit(12)``
+(interface.cuh:9-20) is served by ``tpcg.layout.from_csr`` + these functions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpcg import precond
+from tpcg.types import BlockTridiag, PCGConfig, PCGResult, check_system
+from tpcg.solver import jnp_backend
+
+BACKENDS = ("auto", "jnp", "pallas")
+
+
+def _as_bt(S) -> BlockTridiag:
+    if isinstance(S, BlockTridiag):
+        return S
+    return BlockTridiag(jnp.asarray(S))
+
+
+def _pick_backend(backend: str, dtype) -> str:
+    if backend not in BACKENDS:
+        raise ValueError(f"backend must be one of {BACKENDS}, got {backend!r}")
+    if backend != "auto":
+        return backend
+    # The fused Pallas path is f32-native; f64 (XLA-emulated on TPU) and
+    # non-TPU platforms use the jnp backend.
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu and dtype == jnp.float32:
+        return "pallas"
+    return "jnp"
+
+
+def pcg_solve(S, gamma, lam0=None, *,
+              config: Optional[PCGConfig] = None,
+              Pinv: Optional[Union[BlockTridiag, jax.Array]] = None,
+              backend: str = "auto") -> PCGResult:
+    """Solve ``Phi^-1 S lam = Phi^-1 gamma`` for one system.
+
+    Args:
+      S: ``BlockTridiag`` or blocks array ``(K, 3, n, n)``.
+      gamma: right-hand side ``(K, n)``.
+      lam0: warm-start initial guess ``(K, n)`` (the reference's in/out
+        ``h_lambda``, README.md:50); zeros if omitted.
+      config: ``PCGConfig`` (defaults mirror constants.cuh:14-19).
+      Pinv: optional prebuilt preconditioner (expert path). If given,
+        overrides ``config.preconditioner``.
+      backend: ``"auto"`` | ``"jnp"`` | ``"pallas"``.
+    """
+    S = _as_bt(S)
+    gamma = jnp.asarray(gamma)
+    if lam0 is None:
+        lam0 = jnp.zeros_like(gamma)
+    else:
+        lam0 = jnp.asarray(lam0)
+    config = config or PCGConfig()
+    check_system(S, gamma, lam0)
+    if Pinv is not None:
+        Pinv = _as_bt(Pinv)
+
+    backend = _pick_backend(backend, S.dtype)
+    identity = config.preconditioner == "identity" and Pinv is None
+    if not identity:
+        Pinv = precond.materialize(S, config, Pinv)
+
+    if backend == "jnp":
+        pblocks = S.blocks if identity else Pinv.blocks
+        return jnp_backend.pcg_jnp(
+            S.blocks, pblocks, gamma, lam0,
+            exit_tol=config.exit_tol, max_iter=config.max_iter,
+            identity_pinv=identity)
+    else:
+        from tpcg.solver import pallas_backend
+        pinv_blocks = None if identity else Pinv.blocks
+        return pallas_backend.pcg_pallas(
+            S.blocks, pinv_blocks, gamma, lam0,
+            exit_tol=config.exit_tol, max_iter=config.max_iter)
+
+
+def pcg_solve_batched(S, gamma, lam0=None, *,
+                      config: Optional[PCGConfig] = None,
+                      Pinv=None, backend: str = "auto") -> PCGResult:
+    """Solve ``B`` independent systems (parallel MPC; BASELINE.md config 5).
+
+    ``S`` blocks ``(B, K, 3, n, n)``, vectors ``(B, K, n)``. Per-system
+    iteration counts / convergence flags come back with a leading ``B`` axis.
+    """
+    S = _as_bt(S)
+    gamma = jnp.asarray(gamma)
+    if lam0 is None:
+        lam0 = jnp.zeros_like(gamma)
+    config = config or PCGConfig()
+    if S.blocks.ndim != 5:
+        raise ValueError(f"batched S.blocks must be (B, K, 3, n, n), got "
+                         f"{S.blocks.shape}")
+    if Pinv is not None:
+        Pinv = _as_bt(Pinv)
+
+    backend = _pick_backend(backend, S.dtype)
+    identity = config.preconditioner == "identity" and Pinv is None
+    if not identity:
+        Pinv = precond.materialize(S, config, Pinv)
+
+    if backend == "pallas":
+        from tpcg.solver import pallas_backend
+        pinv_blocks = None if identity else Pinv.blocks
+        return pallas_backend.pcg_pallas_batched(
+            S.blocks, pinv_blocks, gamma, lam0,
+            exit_tol=config.exit_tol, max_iter=config.max_iter)
+
+    pblocks = S.blocks if identity else Pinv.blocks
+    solve1 = lambda s, p, g, l: jnp_backend.pcg_jnp(
+        s, p, g, l, exit_tol=config.exit_tol, max_iter=config.max_iter,
+        identity_pinv=identity)
+    return jax.vmap(solve1)(S.blocks, pblocks, gamma, lam0)
+
+
+def solve_reference_flat(h_S, h_gamma, h_lambda, state_size: int,
+                         knot_points: int,
+                         config: Optional[PCGConfig] = None,
+                         backend: str = "auto"):
+    """Signature-parity shim for the reference's dense convenience overload
+    ``solvePCG(h_S, h_gamma, h_lambda, stateSize, knotPoints, config)``
+    (interface.cuh:25-89) — flat column-major-block S in, solution and true
+    iteration count out (the reference returns 1 instead; SURVEY.md §3.1).
+
+    Returns ``(lam_flat, result)`` where ``lam_flat`` is the flat
+    length-``K*n`` solution like the reference's in/out ``h_lambda``.
+    """
+    from tpcg import layout
+
+    S = layout.from_reference_flat(jnp.asarray(h_S), state_size, knot_points)
+    gamma = jnp.asarray(h_gamma, S.dtype).reshape(knot_points, state_size)
+    lam0 = jnp.asarray(h_lambda, S.dtype).reshape(knot_points, state_size)
+    res = pcg_solve(S, gamma, lam0, config=config, backend=backend)
+    return np.asarray(res.lam).reshape(-1), res
+
+
+class PCGSolver:
+    """Shape-specialized, device-resident solver for MPC loops
+    (the expert path of SURVEY.md §3.3).
+
+    Jit shape specialization replaces the reference's compile-time
+    ``STATE_SIZE``/``KNOT_POINTS`` macro double-declaration
+    (constants.cuh:5-11, README.md:63-64): constructing a ``PCGSolver`` for a
+    shape plays the role of compiling the kernel template instantiation, and
+    :meth:`solve` is the zero-overhead relaunch.
+    """
+
+    def __init__(self, state_size: int, knot_points: int,
+                 config: Optional[PCGConfig] = None,
+                 dtype=jnp.float32, backend: str = "auto",
+                 batch: Optional[int] = None):
+        self.state_size = int(state_size)
+        self.knot_points = int(knot_points)
+        self.config = config or PCGConfig()
+        self.dtype = jnp.dtype(dtype)
+        self.backend = _pick_backend(backend, self.dtype)
+        self.batch = batch
+
+        cfg = self.config
+        if batch is None:
+            fn = lambda blocks, gamma, lam0: pcg_solve(
+                BlockTridiag(blocks), gamma, lam0, config=cfg,
+                backend=self.backend)
+        else:
+            fn = lambda blocks, gamma, lam0: pcg_solve_batched(
+                BlockTridiag(blocks), gamma, lam0, config=cfg,
+                backend=self.backend)
+        self._fn = jax.jit(fn)
+
+    def compile(self):
+        """Ahead-of-time compile for this solver's shapes (optional; first
+        :meth:`solve` call otherwise pays it)."""
+        b = () if self.batch is None else (self.batch,)
+        shapes = (
+            jax.ShapeDtypeStruct(
+                (*b, self.knot_points, 3, self.state_size, self.state_size),
+                self.dtype),
+            jax.ShapeDtypeStruct((*b, self.knot_points, self.state_size),
+                                 self.dtype),
+            jax.ShapeDtypeStruct((*b, self.knot_points, self.state_size),
+                                 self.dtype),
+        )
+        self._fn = self._fn.lower(*shapes).compile()
+        return self
+
+    def solve(self, S, gamma, lam0=None) -> PCGResult:
+        S = _as_bt(S)
+        gamma = jnp.asarray(gamma)
+        if lam0 is None:
+            lam0 = jnp.zeros_like(gamma)
+        return self._fn(S.blocks, gamma, jnp.asarray(lam0))

@@ -1,0 +1,119 @@
+"""Pure-jnp PCG backend — the algorithmic oracle.
+
+Reimplements, update-for-update, the algorithm of the reference's persistent
+cooperative kernel (/root/reference/include/pcg.cuh:54-218; walked in
+SURVEY.md §3.2), as straight-line XLA under ``lax.while_loop``:
+
+* same update order (upsilon, alpha, lambda/r update, r_tilde, eta_new, exit
+  test, beta, p update),
+* same *absolute* exit test ``|eta_new| < exit_tol`` on the preconditioned
+  residual inner product (pcg.cuh:195),
+* same iteration-count semantics: convergence on 0-based loop pass ``i``
+  reports ``i+1``; exhausting ``max_iter`` reports ``max_iter`` with
+  ``converged=False`` (pcg.cuh:154,195,212 — ``max_iter_exit`` negated),
+* lambda/r are updated on the converging pass *before* the test fires,
+  exactly like the reference (pcg.cuh:172-176 precede :195).
+
+The reference needs 4 grid-wide barriers per iteration (pcg.cuh:166,178,190,
+207) because thread-blocks race on halo segments and scalar reductions; on a
+single TPU core the dataflow is sequential, so every barrier disappears —
+XLA's dependence order *is* the synchronization.
+
+This backend is the correctness oracle for the fused Pallas backend, the CPU
+CI fallback, and — vmapped — a strong XLA baseline for batched solves. It is
+also the only backend for float64 (TPU Pallas is f32-native; XLA emulates
+f64).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpcg.ops.bdmv import bdmv
+from tpcg.types import BlockTridiag, PCGConfig, PCGResult
+
+
+class _Carry(NamedTuple):
+    lam: jax.Array
+    r: jax.Array
+    p: jax.Array
+    eta: jax.Array
+    iters: jax.Array
+    converged: jax.Array
+
+
+def _vdot(a, b):
+    return jnp.sum(a * b, axis=(-2, -1))
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv"))
+def pcg_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
+            max_iter: int, identity_pinv: bool = False) -> PCGResult:
+    """Run PCG to the reference's semantics. All arrays canonical layout:
+    ``S_blocks``/``Pinv_blocks`` ``(K, 3, n, n)``, vectors ``(K, n)``.
+
+    With ``identity_pinv=True`` the preconditioner multiply is elided
+    (``r_tilde = r``) — the fast path the reference's ``empty_pinv`` flag
+    promised but never delivered (SURVEY.md §3.1).
+    """
+    S = BlockTridiag(S_blocks)
+    exit_tol = jnp.asarray(exit_tol, dtype=gamma.dtype)
+
+    def apply_pinv(v):
+        if identity_pinv:
+            return v
+        return bdmv(Pinv_blocks, v)
+
+    # --- init (pcg.cuh:118-149) ---
+    r = gamma - bdmv(S.blocks, lam0)
+    r_tilde = apply_pinv(r)
+    p = r_tilde
+    eta = _vdot(r, r_tilde)
+
+    def cond(c: _Carry):
+        return jnp.logical_and(c.iters < max_iter,
+                               jnp.logical_not(c.converged))
+
+    def body(c: _Carry):
+        # upsilon = S p  (pcg.cuh:157-160)
+        ups = bdmv(S.blocks, c.p)
+        # alpha = eta / (p . upsilon)  (pcg.cuh:163-169)
+        alpha = c.eta / _vdot(c.p, ups)
+        # lambda += alpha p ; r -= alpha upsilon  (pcg.cuh:172-176)
+        lam = c.lam + alpha * c.p
+        r = c.r - alpha * ups
+        # r_tilde = Pinv r ; eta_new = r . r_tilde  (pcg.cuh:181-193)
+        r_tilde = apply_pinv(r)
+        eta_new = _vdot(r, r_tilde)
+        # exit test (pcg.cuh:195); on the non-converged path update beta/p
+        # (pcg.cuh:199-206). On the converged path p/eta are dead values.
+        converged = jnp.abs(eta_new) < exit_tol
+        beta = eta_new / c.eta
+        p = r_tilde + beta * c.p
+        return _Carry(lam, r, p, eta_new, c.iters + 1, converged)
+
+    init = _Carry(lam0, r, p, eta,
+                  jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    out = jax.lax.while_loop(cond, body, init)
+    return PCGResult(lam=out.lam, iters=out.iters, converged=out.converged,
+                     eta=out.eta)
+
+
+def solve(S: BlockTridiag, gamma, lam0, config: PCGConfig,
+          Pinv: Optional[BlockTridiag] = None) -> PCGResult:
+    """Convenience wrapper: builds/validates the preconditioner then solves."""
+    from tpcg import precond
+
+    identity = config.preconditioner == "identity" and Pinv is None
+    if not identity:
+        Pinv = precond.materialize(S, config, Pinv)
+        pblocks = Pinv.blocks
+    else:
+        pblocks = S.blocks  # unused placeholder (identity fast path)
+    return pcg_jnp(S.blocks, pblocks, gamma, lam0,
+                   exit_tol=config.exit_tol, max_iter=config.max_iter,
+                   identity_pinv=identity)

@@ -1,0 +1,52 @@
+"""Pallas backend: canonical-layout wrappers over the fused persistent kernel
+(tpcg/ops/fused_pcg.py). Layout transposes to/from lane-major happen inside
+jit and fuse with neighboring ops; for MPC loops, :class:`tpcg.solver.api.
+PCGSolver` keeps everything jitted so they run on-device every step."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpcg.ops.bdmv import to_lane_major, vec_to_lane_major
+from tpcg.ops.fused_pcg import (fused_pcg_lane_major,
+                                fused_pcg_lane_major_batched)
+from tpcg.types import PCGResult
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
+def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
+               max_iter: int, interpret: bool = False) -> PCGResult:
+    """Single-system fused solve; canonical layout in/out.
+
+    ``Pinv_blocks=None`` selects the identity-preconditioner fast path.
+    """
+    S_lm = to_lane_major(S_blocks)
+    Pinv_lm = None if Pinv_blocks is None else to_lane_major(
+        Pinv_blocks)
+    gamma_lm = vec_to_lane_major(gamma)
+    lam0_lm = vec_to_lane_major(lam0)
+    lam_lm, iters, conv, eta = fused_pcg_lane_major(
+        S_lm, Pinv_lm, gamma_lm, lam0_lm,
+        exit_tol=exit_tol, max_iter=max_iter, interpret=interpret)
+    return PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
+                     converged=conv, eta=eta)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
+def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
+                       max_iter: int, interpret: bool = False) -> PCGResult:
+    """Batched fused solve: ``S_blocks (B, K, 3, n, n)``, vectors
+    ``(B, K, n)``."""
+    to_lm = jax.vmap(to_lane_major)
+    S_lm = to_lm(S_blocks)
+    Pinv_lm = None if Pinv_blocks is None else to_lm(Pinv_blocks)
+    gamma_lm = jnp.swapaxes(gamma, -1, -2)
+    lam0_lm = jnp.swapaxes(lam0, -1, -2)
+    lam_lm, iters, conv, eta = fused_pcg_lane_major_batched(
+        S_lm, Pinv_lm, gamma_lm, lam0_lm,
+        exit_tol=exit_tol, max_iter=max_iter, interpret=interpret)
+    return PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
+                     converged=conv, eta=eta)

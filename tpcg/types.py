@@ -1,0 +1,156 @@
+"""Core data types for tpcg.
+
+TPU-native rebuild of the reference's type layer
+(``/root/reference/include/types.cuh:7-35`` and ``constants.cuh:5-20``).
+
+Differences from the reference, by design (SURVEY.md §7 "faithful quirk
+policy"):
+
+* ``PCGConfig`` replaces ``pcg_config<T>`` (types.cuh:18-35). The dead
+  ``pcg_grid`` / ``pcg_block`` launch-geometry fields (ignored at
+  interface.cuh:132) do not exist here — XLA owns scheduling. The
+  ``empty_pinv`` int flag becomes a first-class ``preconditioner`` kind.
+* The compile-time ``STATE_SIZE`` / ``KNOT_POINTS`` macro double-declaration
+  (constants.cuh:5-11, README.md:63-64) is replaced by jit shape
+  specialization: shapes are read off the arrays and trigger retrace.
+* Results are a structured ``PCGResult`` pytree instead of the reference's
+  partially-lost iteration count (interface.cuh:88 returns 1) and the
+  never-read ``d_max_iter_exit`` flag (interface.cuh:141).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Defaults mirror /root/reference/include/constants.cuh:14-19.
+DEFAULT_MAX_PCG_ITER = 25
+DEFAULT_EPSILON = 1e-6
+
+#: Valid preconditioner kinds for :class:`PCGConfig`.
+PRECONDITIONER_KINDS = ("identity", "block_jacobi", "symmetric_stair", "explicit")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PCGConfig:
+    """Solver configuration (reference: types.cuh:18-35, constants.cuh:14-19).
+
+    Attributes:
+      exit_tol: absolute tolerance on ``|r . Pinv r|`` (pcg.cuh:195 semantics —
+        an *absolute* test on the preconditioned residual inner product, not a
+        relative 2-norm test).
+      max_iter: maximum PCG iterations (constants.cuh:15 default 25).
+      preconditioner: one of :data:`PRECONDITIONER_KINDS`. ``"identity"``
+        corresponds to the reference's ``empty_pinv=1`` default
+        (types.cuh:33) — except here it is actually implemented (the
+        reference's identity fallback multiplies by uninitialized device
+        memory, SURVEY.md §3.1). ``"explicit"`` means the caller passes a
+        prebuilt ``Pinv`` (the expert path of interface.cuh:93-144).
+    """
+
+    exit_tol: float = dataclasses.field(
+        default=DEFAULT_EPSILON, metadata=dict(static=False)
+    )
+    max_iter: int = dataclasses.field(default=DEFAULT_MAX_PCG_ITER,
+                                      metadata=dict(static=True))
+    preconditioner: str = dataclasses.field(default="identity",
+                                            metadata=dict(static=True))
+
+    def __post_init__(self):
+        if self.preconditioner not in PRECONDITIONER_KINDS:
+            raise ValueError(
+                f"preconditioner must be one of {PRECONDITIONER_KINDS}, "
+                f"got {self.preconditioner!r}")
+        if int(self.max_iter) < 1:
+            raise ValueError(f"max_iter must be >= 1, got {self.max_iter}")
+
+
+class PCGResult(NamedTuple):
+    """Structured solve result.
+
+    The reference computes all three of these but loses two: the convenience
+    wrapper returns 1 instead of the iteration count (interface.cuh:88) and
+    frees ``d_max_iter_exit`` unread (interface.cuh:141). Here they are
+    first-class outputs.
+
+    Attributes:
+      lam: solution vectors, shape ``(..., knot_points, state_size)``.
+      iters: iterations executed, int32. Semantics match pcg.cuh:195,212:
+        a solve converging on 0-based loop pass ``i`` reports ``i + 1``;
+        hitting ``max_iter`` reports ``max_iter``.
+      converged: True iff the tolerance exit fired (the logical negation of
+        the reference's ``max_iter_exit`` flag, pcg.cuh:101,195).
+      eta: final preconditioned residual inner product ``r . Pinv r``.
+    """
+
+    lam: jax.Array
+    iters: jax.Array
+    converged: jax.Array
+    eta: jax.Array
+
+
+class BlockTridiag(NamedTuple):
+    """Compressed block-tridiagonal (cbtd) matrix.
+
+    Layout contract (the TPU-native reshaping of the reference layout
+    documented at SURVEY.md §2 / interface.cuh:41 / pcg.cuh:108): for each
+    block row ``k`` of ``knot_points`` rows, three dense
+    ``state_size x state_size`` blocks ``[left_k, diag_k, right_k]``.
+
+    ``blocks`` has shape ``(knot_points, 3, state_size, state_size)`` with
+    **row-major** blocks (standard ``blocks[k, d] @ x`` semantics). The
+    reference stores blocks column-major (utils.cuh:62,71,80); conversion
+    from that flat layout lives in :mod:`tpcg.layout`.
+
+    ``blocks[0, 0]`` and ``blocks[-1, 2]`` are padding and must be zero
+    (matching the reference's zero-padded slots, examples/pcg_solve.cu:14-22).
+    All tpcg kernels are robust to nonzero padding there — boundary halo
+    vectors are zeroed — but canonical constructors zero them.
+    """
+
+    blocks: jax.Array
+
+    @property
+    def knot_points(self) -> int:
+        return self.blocks.shape[-4]
+
+    @property
+    def state_size(self) -> int:
+        return self.blocks.shape[-1]
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    def dense(self) -> jax.Array:
+        """Densify to ``(K*n, K*n)`` (test/debug utility)."""
+        from tpcg import layout  # local import to avoid cycle
+
+        return layout.cbtd_to_dense(self.blocks)
+
+
+def check_system(S: BlockTridiag, gamma: jax.Array, lam: jax.Array) -> None:
+    """Static shape/dtype validation for a solve call.
+
+    Replaces the reference's absence of validation (its only check,
+    ``checkPcgOccupancy`` pcg.cuh:23-49, is commented out at
+    interface.cuh:112). Raises ``ValueError`` on mismatch.
+    """
+    b = S.blocks
+    if b.ndim < 4 or b.shape[-3] != 3 or b.shape[-1] != b.shape[-2]:
+        raise ValueError(
+            f"S.blocks must have shape (..., knot_points, 3, n, n), got {b.shape}")
+    K, n = b.shape[-4], b.shape[-1]
+    batch = b.shape[:-4]
+    want = (*batch, K, n)
+    if tuple(gamma.shape) != want:
+        raise ValueError(f"gamma shape {gamma.shape} != expected {want}")
+    if tuple(lam.shape) != want:
+        raise ValueError(f"lambda shape {lam.shape} != expected {want}")
+    if gamma.dtype != b.dtype or lam.dtype != b.dtype:
+        raise ValueError(
+            f"dtype mismatch: S={b.dtype}, gamma={gamma.dtype}, lam={lam.dtype}")

@@ -1,0 +1,117 @@
+"""Host-side native (C++) fast paths with numpy fallbacks.
+
+The reference's runtime-around-the-kernel is host C++ (interface.cuh's
+alloc/copy/launch orchestration). tpcg's equivalent host layer is the packing
+/ ingestion code here: a small C++ library (csrc/cbtd.cpp, built to
+``libtpcg_host.so``) loaded via ctypes, with bit-identical numpy fallbacks so
+the package works unbuilt.
+
+Exposed ops:
+  * csr_to_cbtd  — CSR -> canonical cbtd blocks (the ingestion the reference
+    stubbed out at interface.cuh:9-20).
+  * refflat_to_cbtd — reference flat layout -> canonical blocks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _find_lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for cand in (os.path.join(here, "csrc", "libtpcg_host.so"),
+                 os.path.join(here, "libtpcg_host.so")):
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.tpcg_csr_to_cbtd.restype = ctypes.c_int
+                lib.tpcg_csr_to_cbtd.argtypes = [
+                    ctypes.POINTER(ctypes.c_int64),   # row_ptr
+                    ctypes.POINTER(ctypes.c_int64),   # col_ind
+                    ctypes.POINTER(ctypes.c_double),  # val
+                    ctypes.c_int64,                   # n
+                    ctypes.c_int64,                   # K
+                    ctypes.POINTER(ctypes.c_double),  # out blocks
+                ]
+                lib.tpcg_refflat_to_cbtd.restype = ctypes.c_int
+                lib.tpcg_refflat_to_cbtd.argtypes = [
+                    ctypes.POINTER(ctypes.c_double),
+                    ctypes.c_int64, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_double),
+                ]
+                _LIB = lib
+            except OSError:
+                _LIB = None
+            break
+    return _LIB
+
+
+def have_native() -> bool:
+    return _find_lib() is not None
+
+
+def csr_to_cbtd(row_ptr, col_ind, val, n: int, K: int) -> np.ndarray:
+    """CSR -> blocks (K, 3, n, n), float64 host array. Raises ValueError on
+    entries outside the block-tridiagonal band."""
+    lib = _find_lib()
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    col_ind = np.ascontiguousarray(col_ind, dtype=np.int64)
+    val64 = np.ascontiguousarray(val, dtype=np.float64)
+    if lib is not None:
+        out = np.zeros((K, 3, n, n), dtype=np.float64)
+        rc = lib.tpcg_csr_to_cbtd(
+            row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            col_ind.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            val64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n, K,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if rc != 0:
+            raise ValueError(
+                "CSR entry outside the block-tridiagonal band "
+                f"(native converter error code {rc})")
+        return out.astype(np.asarray(val).dtype, copy=False)
+    return _csr_to_cbtd_numpy(row_ptr, col_ind, val64, n, K).astype(
+        np.asarray(val).dtype, copy=False)
+
+
+def _csr_to_cbtd_numpy(row_ptr, col_ind, val, n: int, K: int) -> np.ndarray:
+    out = np.zeros((K, 3, n, n), dtype=np.float64)
+    rows = np.repeat(np.arange(K * n), np.diff(row_ptr))
+    cols = col_ind
+    brow, r = rows // n, rows % n
+    bcol, c = cols // n, cols % n
+    d = bcol - brow + 1  # 0=left, 1=diag, 2=right
+    bad = (d < 0) | (d > 2)
+    if np.any(bad & (val != 0)):
+        raise ValueError("CSR entry outside the block-tridiagonal band")
+    ok = ~bad
+    out[brow[ok], d[ok], r[ok], c[ok]] = val[ok]
+    return out
+
+
+def refflat_to_cbtd(flat, n: int, K: int) -> np.ndarray:
+    """Reference flat (column-major blocks) -> canonical blocks, on host."""
+    lib = _find_lib()
+    flat64 = np.ascontiguousarray(flat, dtype=np.float64)
+    if lib is not None:
+        out = np.zeros((K, 3, n, n), dtype=np.float64)
+        lib.tpcg_refflat_to_cbtd(
+            flat64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n, K,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    else:
+        out = flat64.reshape(K, 3, n, n).swapaxes(-1, -2).copy()
+        out[0, 0] = 0
+        out[-1, 2] = 0
+    return out.astype(np.asarray(flat).dtype, copy=False)

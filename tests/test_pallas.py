@@ -1,0 +1,127 @@
+"""Pallas kernel tests vs the jnp oracle, run in interpret mode on CPU
+(the TPU-less CI analog of testing device code without a device,
+SURVEY.md §4). On real TPU hardware the same kernels compile natively —
+see .claude/skills/verify/SKILL.md for the hardware drive."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpcg import PCGConfig, layout, precond
+from tpcg.models import golden
+from tpcg.ops.bdmv import bdmv, bdmv_pallas
+from tpcg.solver import jnp_backend, pallas_backend
+
+
+@pytest.mark.parametrize("n,K", [(2, 3), (5, 17), (14, 128)])
+def test_bdmv_pallas_matches_oracle(n, K, rng):
+    bt = layout.random_spd_cbtd(jax.random.PRNGKey(n + K), n, K,
+                                dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((K, n)), jnp.float32)
+    y_pallas = bdmv_pallas(bt.blocks, x, interpret=True)
+    y_oracle = bdmv(bt.blocks, x)
+    np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_oracle),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _solve_both(S, Pinv_blocks, gamma, lam0, tol, max_iter):
+    res_p = pallas_backend.pcg_pallas(
+        S.blocks, Pinv_blocks, gamma, lam0,
+        exit_tol=tol, max_iter=max_iter, interpret=True)
+    res_j = jnp_backend.pcg_jnp(
+        S.blocks, S.blocks if Pinv_blocks is None else Pinv_blocks,
+        gamma, lam0, exit_tol=tol, max_iter=max_iter,
+        identity_pinv=Pinv_blocks is None)
+    return res_p, res_j
+
+
+def test_fused_golden_parity():
+    S, gamma, lam0 = golden.system(dtype=jnp.float32)
+    res_p, res_j = _solve_both(S, None, gamma, lam0, 1e-6, 25)
+    assert bool(res_p.converged) and bool(res_j.converged)
+    # tolerance-matched parity (SURVEY.md §7 "hard parts"): iteration counts
+    # may differ by 1 from fp reduction-order ulps
+    assert abs(int(res_p.iters) - int(res_j.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(res_p.lam), np.asarray(res_j.lam),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("pre", ["identity", "block_jacobi",
+                                 "symmetric_stair"])
+def test_fused_random_system_parity(pre):
+    n, K = 6, 24
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(42), n, K,
+                               dtype=jnp.float32)
+    gamma = jnp.ones((K, n), jnp.float32)
+    lam0 = jnp.zeros_like(gamma)
+    pb = None if pre == "identity" else precond.build(S, pre).blocks
+    res_p, res_j = _solve_both(S, pb, gamma, lam0, 1e-8, 200)
+    assert bool(res_p.converged)
+    assert abs(int(res_p.iters) - int(res_j.iters)) <= 2
+    np.testing.assert_allclose(np.asarray(res_p.lam), np.asarray(res_j.lam),
+                               rtol=1e-3, atol=1e-4)
+    # and against the dense truth
+    x_true = np.linalg.solve(np.asarray(S.dense(), np.float64),
+                             np.ones(K * n))
+    np.testing.assert_allclose(np.asarray(res_p.lam).reshape(-1), x_true,
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_fused_max_iter_semantics():
+    n, K = 4, 8
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(1), n, K,
+                               dtype=jnp.float32)
+    gamma = jnp.ones((K, n), jnp.float32)
+    res = pallas_backend.pcg_pallas(
+        S.blocks, None, gamma, jnp.zeros_like(gamma),
+        exit_tol=1e-30, max_iter=3, interpret=True)
+    assert int(res.iters) == 3
+    assert not bool(res.converged)
+
+
+def test_fused_batched_matches_loop(rng):
+    B, n, K = 4, 5, 16
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K,
+                                               dtype=jnp.float32).blocks
+                        for k in keys])
+    gamma = jnp.asarray(rng.standard_normal((B, K, n)), jnp.float32)
+    lam0 = jnp.zeros_like(gamma)
+    res_b = pallas_backend.pcg_pallas_batched(
+        blocks, None, gamma, lam0, exit_tol=1e-8, max_iter=100,
+        interpret=True)
+    for b in range(B):
+        res_1 = pallas_backend.pcg_pallas(
+            blocks[b], None, gamma[b], lam0[b], exit_tol=1e-8, max_iter=100,
+            interpret=True)
+        assert int(res_b.iters[b]) == int(res_1.iters)
+        assert bool(res_b.converged[b]) == bool(res_1.converged)
+        np.testing.assert_allclose(np.asarray(res_b.lam[b]),
+                                   np.asarray(res_1.lam), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_api_batched_jnp_vs_pallas_interpret(rng):
+    """pcg_solve_batched: vmapped jnp backend vs grid-batched pallas kernel."""
+    from tpcg import BlockTridiag
+    from tpcg.solver import api
+
+    B, n, K = 3, 4, 12
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K,
+                                               dtype=jnp.float32).blocks
+                        for k in keys])
+    gamma = jnp.asarray(rng.standard_normal((B, K, n)), jnp.float32)
+    cfg = PCGConfig(exit_tol=1e-8, max_iter=100,
+                    preconditioner="block_jacobi")
+    res_jnp = api.pcg_solve_batched(BlockTridiag(blocks), gamma, config=cfg,
+                                    backend="jnp")
+    Pinv = precond.build(BlockTridiag(blocks), "block_jacobi")
+    res_pal = pallas_backend.pcg_pallas_batched(
+        blocks, Pinv.blocks, gamma, jnp.zeros_like(gamma),
+        exit_tol=1e-8, max_iter=100, interpret=True)
+    assert np.all(np.asarray(res_jnp.converged))
+    assert np.all(np.asarray(res_pal.converged))
+    np.testing.assert_allclose(np.asarray(res_pal.lam),
+                               np.asarray(res_jnp.lam), rtol=1e-3, atol=1e-4)

@@ -39,8 +39,10 @@ from tpcg.ops.bdmv import bdmv_lane_major
 
 def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                 lam_ref, iters_ref, conv_ref, eta_ref,
-                *, n, K, max_iter, identity_pinv):
-    """Kernel body. ``pinv_ref is S_ref`` when identity_pinv (arg unused)."""
+                *, n, K, max_iter, identity_pinv, out_idx=0):
+    """Kernel body. ``pinv_ref is S_ref`` when identity_pinv (arg unused).
+    Scalar diagnostics are stored at ``out_idx`` in their SMEM refs (0 for
+    the single-system kernel; ``program_id`` for the grid-batched one)."""
     S = S_ref[:, :, :, :]
     gamma = gamma_ref[:, :]
     lam0 = lam0_ref[:, :]
@@ -83,9 +85,9 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
     lam, r, p, eta, iters, converged = jax.lax.while_loop(cond, body, init)
 
     lam_ref[:, :] = lam
-    iters_ref[0] = iters
-    conv_ref[0] = converged.astype(jnp.int32)
-    eta_ref[0] = eta
+    iters_ref[out_idx] = iters
+    conv_ref[out_idx] = converged.astype(jnp.int32)
+    eta_ref[out_idx] = eta
 
 
 def _scalar_spec():
@@ -139,11 +141,16 @@ def _pcg_batched_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
     """Grid-over-batch variant: one grid step = one full solve. Pallas grid
     steps run sequentially on a core, mirroring how independent MPC systems
     would queue on the reference's single GPU — but with S/Pinv block DMA
-    double-buffered across steps by the Pallas pipeline."""
+    double-buffered across steps by the Pallas pipeline.
+
+    Scalar diagnostics are full ``(B,)`` SMEM refs written at
+    ``program_id`` (rank-1 SMEM outputs cannot be block-sliced per step)."""
+    b = pl.program_id(0)
     _pcg_kernel(tol_ref,
                 S_ref.at[0], pinv_ref.at[0], gamma_ref.at[0], lam0_ref.at[0],
                 lam_ref.at[0], iters_ref, conv_ref, eta_ref,
-                n=n, K=K, max_iter=max_iter, identity_pinv=identity_pinv)
+                n=n, K=K, max_iter=max_iter, identity_pinv=identity_pinv,
+                out_idx=b)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
@@ -170,7 +177,7 @@ def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
         return pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),
                             memory_space=pltpu.VMEM)
 
-    smem_out = pl.BlockSpec((1,), lambda b: (b,), memory_space=pltpu.SMEM)
+    smem_out = pl.BlockSpec(memory_space=pltpu.SMEM)  # full (B,), one slot/step
     lam, iters, conv, eta = pl.pallas_call(
         kernel,
         grid=(B,),

@@ -1,0 +1,145 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest.py):
+knot-axis sharding (ppermute halos + psum dots) and batch sharding must
+reproduce the single-device solve exactly in structure and to fp tolerance
+in values."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpcg import BlockTridiag, PCGConfig, layout, precond
+from tpcg.parallel.batch_sharded import pcg_solve_batch_sharded
+from tpcg.parallel.knot_sharded import (bdmv_knot_sharded, pcg_solve_sharded)
+from tpcg.ops.bdmv import bdmv
+from tpcg.solver import jnp_backend
+
+
+def _mesh(n, name):
+    devs = jax.devices()[:n]
+    return Mesh(np.array(devs), (name,))
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) >= 8, (
+        "conftest must provide 8 virtual CPU devices")
+
+
+@pytest.mark.parametrize("nd", [2, 4, 8])
+def test_bdmv_knot_sharded_matches(nd, rng):
+    n, K = 5, 32
+    bt = layout.random_spd_cbtd(jax.random.PRNGKey(nd), n, K,
+                                dtype=jnp.float64)
+    x = jnp.asarray(rng.standard_normal((K, n)))
+    mesh = _mesh(nd, "knot")
+    y_sharded = jax.jit(jax.shard_map(
+        lambda b, v: bdmv_knot_sharded(b, v, "knot", nd),
+        mesh=mesh, in_specs=(P("knot"), P("knot")), out_specs=P("knot"),
+        check_vma=False))(bt.blocks, x)
+    np.testing.assert_allclose(np.asarray(y_sharded),
+                               np.asarray(bdmv(bt.blocks, x)), atol=1e-12)
+
+
+@pytest.mark.parametrize("pre", ["identity", "symmetric_stair"])
+@pytest.mark.parametrize("nd", [2, 8])
+def test_knot_sharded_solve_matches_single(pre, nd):
+    n, K = 6, 64
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(3), n, K,
+                               dtype=jnp.float64)
+    gamma = jnp.ones((K, n), jnp.float64)
+    cfg = PCGConfig(exit_tol=1e-12, max_iter=300, preconditioner=pre)
+    mesh = _mesh(nd, "knot")
+    res_sh = pcg_solve_sharded(S, gamma, mesh=mesh, config=cfg)
+    # single-device oracle
+    identity = pre == "identity"
+    pb = S.blocks if identity else precond.build(S, pre).blocks
+    res_1 = jnp_backend.pcg_jnp(S.blocks, pb, gamma, jnp.zeros_like(gamma),
+                                exit_tol=1e-12, max_iter=300,
+                                identity_pinv=identity)
+    assert bool(res_sh.converged)
+    assert int(res_sh.iters) == int(res_1.iters)
+    np.testing.assert_allclose(np.asarray(res_sh.lam), np.asarray(res_1.lam),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_knot_sharded_rejects_indivisible():
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(0), 3, 10,
+                               dtype=jnp.float64)
+    mesh = _mesh(4, "knot")
+    with pytest.raises(ValueError, match="divisible"):
+        pcg_solve_sharded(S, jnp.ones((10, 3), jnp.float64), mesh=mesh)
+
+
+@pytest.mark.parametrize("nd", [2, 4])
+def test_batch_sharded_matches_loop(nd, rng):
+    B, n, K = 8, 4, 16
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K,
+                                               dtype=jnp.float64).blocks
+                        for k in keys])
+    gamma = jnp.asarray(rng.standard_normal((B, K, n)))
+    cfg = PCGConfig(exit_tol=1e-12, max_iter=200,
+                    preconditioner="block_jacobi")
+    mesh = _mesh(nd, "batch")
+    res = pcg_solve_batch_sharded(BlockTridiag(blocks), gamma, mesh=mesh,
+                                  config=cfg)
+    pb = precond.build(BlockTridiag(blocks), "block_jacobi").blocks
+    for b in range(B):
+        r1 = jnp_backend.pcg_jnp(blocks[b], pb[b], gamma[b],
+                                 jnp.zeros_like(gamma[b]),
+                                 exit_tol=1e-12, max_iter=200)
+        assert int(res.iters[b]) == int(r1.iters)
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), atol=1e-9)
+
+
+def test_knot_sharded_batched_2d_mesh(rng):
+    """2D mesh (batch x knot): per-system results must match independent
+    single-device solves exactly in iteration counts."""
+    from tpcg.parallel.knot_sharded import pcg_knot_sharded_batched
+    from jax.sharding import NamedSharding
+
+    B, n, K = 4, 4, 16
+    keys = jax.random.split(jax.random.PRNGKey(11), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K,
+                                               dtype=jnp.float64).blocks
+                        for k in keys])
+    gamma = jnp.asarray(rng.standard_normal((B, K, n)))
+    lam0 = jnp.zeros_like(gamma)
+    pb = precond.build(BlockTridiag(blocks), "block_jacobi").blocks
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("batch", "knot"))
+    shard = NamedSharding(mesh, P("batch", "knot"))
+    args = [jax.device_put(x, shard) for x in (blocks, pb, gamma, lam0)]
+    res = pcg_knot_sharded_batched(*args, mesh=mesh,
+                                   exit_tol=1e-12, max_iter=300)
+    assert np.all(np.asarray(res.converged))
+    for b in range(B):
+        r1 = jnp_backend.pcg_jnp(blocks[b], pb[b], gamma[b], lam0[b],
+                                 exit_tol=1e-12, max_iter=300)
+        assert int(res.iters[b]) == int(r1.iters)
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), atol=1e-9)
+
+
+def test_batch_sharded_pallas_interpret():
+    B, n, K = 4, 3, 8
+    keys = jax.random.split(jax.random.PRNGKey(2), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K,
+                                               dtype=jnp.float32).blocks
+                        for k in keys])
+    gamma = jnp.ones((B, K, n), jnp.float32)
+    mesh = _mesh(2, "batch")
+    res = pcg_solve_batch_sharded(
+        BlockTridiag(blocks), gamma, mesh=mesh,
+        config=PCGConfig(exit_tol=1e-7, max_iter=100),
+        backend="pallas", interpret=True)
+    assert np.all(np.asarray(res.converged))
+    for b in range(B):
+        x_true = np.linalg.solve(
+            np.asarray(BlockTridiag(blocks[b]).dense(), np.float64),
+            np.ones(K * n))
+        np.testing.assert_allclose(np.asarray(res.lam[b]).reshape(-1),
+                                   x_true, rtol=1e-3, atol=1e-4)

@@ -1,0 +1,273 @@
+"""Knot-axis (trajectory-time) domain decomposition over a device mesh.
+
+The TPU scale-out of the reference's one-thread-block-per-knot decomposition
+(SURVEY.md §5.7/§5.8): the reference co-schedules all knot blocks on one GPU
+and synchronizes with cooperative-groups ``grid.sync()``, bounding
+knot_points by resident-block capacity (pcg.cuh:43-46). Here the knot axis is
+sharded over ICI with ``shard_map``:
+
+* the radius-1 **halo exchange** the reference does through global memory +
+  grid.sync (``loadbdVec``, utils.cuh:9-40, after the barriers at
+  pcg.cuh:128,178) becomes one ``lax.ppermute`` of a single
+  ``(1, state_size)`` boundary row per direction per SpMV;
+* the hand-rolled **all-reduce** of per-knot partial dots
+  (d_v_temp/d_eta_new_temp + glass::reduce, pcg.cuh:144-149,163-169,187-193)
+  becomes ``lax.psum`` over the mesh axis;
+* the 4 grid-wide barriers per iteration disappear — XLA's collective
+  schedule is the synchronization.
+
+There is no per-device residency limit: each shard's knot slice is just a
+bigger lane-major tile, so knot_points scales with devices x VMEM instead of
+SMs x occupancy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpcg.types import BlockTridiag, PCGConfig, PCGResult
+
+
+def _neighbor_perms(nd: int):
+    """Non-wrapping shift perms; missing sources yield zeros at chain ends
+    (lax.ppermute semantics), which is exactly the boundary condition."""
+    fwd = [(i, i + 1) for i in range(nd - 1)]   # send to right neighbor
+    bwd = [(i + 1, i) for i in range(nd - 1)]   # send to left neighbor
+    return fwd, bwd
+
+
+def bdmv_knot_sharded(blocks_loc, x_loc, axis_name: str, nd: int):
+    """Local shard of ``y = S @ x``: blocks_loc ``(K/nd, 3, n, n)``, x_loc
+    ``(K/nd, n)``. One ppermute per direction supplies the halo rows."""
+    fwd, bwd = _neighbor_perms(nd)
+    # halo from left neighbor: its LAST row becomes our k=-1 row
+    left_halo = jax.lax.ppermute(x_loc[-1:], axis_name, perm=fwd)
+    # halo from right neighbor: its FIRST row becomes our k=K_loc row
+    right_halo = jax.lax.ppermute(x_loc[:1], axis_name, perm=bwd)
+    x_dn = jnp.concatenate([left_halo, x_loc[:-1]], axis=0)
+    x_up = jnp.concatenate([x_loc[1:], right_halo], axis=0)
+    y = jnp.einsum('knm,km->kn', blocks_loc[:, 1], x_loc)
+    y = y + jnp.einsum('knm,km->kn', blocks_loc[:, 0], x_dn)
+    y = y + jnp.einsum('knm,km->kn', blocks_loc[:, 2], x_up)
+    return y
+
+
+class _Carry(NamedTuple):
+    lam: jax.Array
+    r: jax.Array
+    p: jax.Array
+    eta: jax.Array
+    iters: jax.Array
+    converged: jax.Array
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "axis_name", "max_iter",
+                                    "identity_pinv"))
+def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
+                     axis_name: str = "knot", exit_tol, max_iter: int,
+                     identity_pinv: bool = False) -> PCGResult:
+    """Full PCG with the knot axis sharded over ``mesh[axis_name]``.
+
+    Inputs are global-shape canonical arrays (``(K, 3, n, n)`` / ``(K, n)``);
+    K must be divisible by the mesh axis size. Semantics (update order, exit
+    test, iteration count) identical to the single-core backends.
+    """
+    nd = mesh.shape[axis_name]
+    K = gamma.shape[-2]
+    if K % nd != 0:
+        raise ValueError(f"knot_points={K} not divisible by mesh axis "
+                         f"'{axis_name}' size {nd}")
+
+    mv = functools.partial(bdmv_knot_sharded, axis_name=axis_name, nd=nd)
+
+    def vdot(a, b):
+        return jax.lax.psum(jnp.sum(a * b), axis_name)
+
+    def solve_local(S_loc, P_loc, g_loc, l_loc):
+        tol = jnp.asarray(exit_tol, g_loc.dtype)
+        apply_pinv = ((lambda v: v) if identity_pinv
+                      else (lambda v: mv(P_loc, v)))
+
+        r = g_loc - mv(S_loc, l_loc)
+        rt = apply_pinv(r)
+        p = rt
+        eta = vdot(r, rt)
+
+        def cond(c):
+            return jnp.logical_and(c.iters < max_iter,
+                                   jnp.logical_not(c.converged))
+
+        def body(c):
+            ups = mv(S_loc, c.p)
+            alpha = c.eta / vdot(c.p, ups)
+            lam = c.lam + alpha * c.p
+            r = c.r - alpha * ups
+            rt = apply_pinv(r)
+            eta_new = vdot(r, rt)
+            converged = jnp.abs(eta_new) < tol
+            beta = eta_new / c.eta
+            p = rt + beta * c.p
+            return _Carry(lam, r, p, eta_new, c.iters + 1, converged)
+
+        out = jax.lax.while_loop(
+            cond, body,
+            _Carry(l_loc, r, p, eta, jnp.zeros((), jnp.int32),
+                   jnp.zeros((), bool)))
+        return out.lam, out.iters, out.converged, out.eta
+
+    shard = P(axis_name)
+    lam, iters, conv, eta = jax.shard_map(
+        solve_local, mesh=mesh,
+        in_specs=(shard, shard, shard, shard),
+        out_specs=(shard, P(), P(), P()),
+        check_vma=False,
+    )(S_blocks, S_blocks if Pinv_blocks is None else Pinv_blocks,
+      gamma, lam0)
+    return PCGResult(lam=lam, iters=iters, converged=conv, eta=eta)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "axis_name", "batch_axis_name",
+                                    "max_iter", "identity_pinv"))
+def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
+                             mesh: Mesh, axis_name: str = "knot",
+                             batch_axis_name: Optional[str] = "batch",
+                             exit_tol, max_iter: int,
+                             identity_pinv: bool = False) -> PCGResult:
+    """Fleet of B systems, each with its knot axis sharded: the 2D-mesh
+    (batch x knot) composition — batch is the zero-communication DCN-friendly
+    axis, knot halos/reductions ride ICI.
+
+    Inputs: ``S_blocks (B, K, 3, n, n)``, vectors ``(B, K, n)``. Per-system
+    semantics match independent solves exactly: converged systems are frozen
+    (masked updates) while the fleet loop runs until all converge or
+    ``max_iter``; per-system ``iters``/``converged``/``eta`` are returned.
+    """
+    nd = mesh.shape[axis_name]
+    K = gamma.shape[-2]
+    if K % nd != 0:
+        raise ValueError(f"knot_points={K} not divisible by mesh axis "
+                         f"'{axis_name}' size {nd}")
+    if batch_axis_name is not None:
+        nb = mesh.shape[batch_axis_name]
+        if gamma.shape[0] % nb != 0:
+            raise ValueError(
+                f"batch={gamma.shape[0]} not divisible by mesh axis "
+                f"'{batch_axis_name}' size {nb}")
+
+    def mv(blocks_loc, x_loc):
+        # batched local bdmv with halo rows exchanged along the knot axis
+        fwd, bwd = _neighbor_perms(nd)
+        left_halo = jax.lax.ppermute(x_loc[:, -1:], axis_name, perm=fwd)
+        right_halo = jax.lax.ppermute(x_loc[:, :1], axis_name, perm=bwd)
+        x_dn = jnp.concatenate([left_halo, x_loc[:, :-1]], axis=1)
+        x_up = jnp.concatenate([x_loc[:, 1:], right_halo], axis=1)
+        y = jnp.einsum('bknm,bkm->bkn', blocks_loc[:, :, 1], x_loc)
+        y = y + jnp.einsum('bknm,bkm->bkn', blocks_loc[:, :, 0], x_dn)
+        y = y + jnp.einsum('bknm,bkm->bkn', blocks_loc[:, :, 2], x_up)
+        return y
+
+    def vdot(a, b):
+        return jax.lax.psum(jnp.sum(a * b, axis=(-2, -1)), axis_name)
+
+    def solve_local(S_loc, P_loc, g_loc, l_loc):
+        tol = jnp.asarray(exit_tol, g_loc.dtype)
+        B_loc = g_loc.shape[0]
+        apply_pinv = ((lambda v: v) if identity_pinv
+                      else (lambda v: mv(P_loc, v)))
+
+        def fleet_done(converged):
+            # Trip counts MUST be identical on every device of the mesh:
+            # the knot-axis ppermute/psum are global collectives, so a batch
+            # shard exiting early would deadlock the others. Agree on "done"
+            # across the batch axis.
+            done = jnp.all(converged)
+            if batch_axis_name is not None:
+                done = jax.lax.psum(done.astype(jnp.int32),
+                                    batch_axis_name) >= mesh.shape[
+                                        batch_axis_name]
+            return done
+
+        r = g_loc - mv(S_loc, l_loc)
+        rt = apply_pinv(r)
+        p = rt
+        eta = vdot(r, rt)   # (B_loc,)
+
+        def cond(c):
+            lam, r, p, eta, iters, converged, step, done = c
+            return jnp.logical_and(step < max_iter,
+                                   jnp.logical_not(done))
+
+        def body(c):
+            lam, r, p, eta, iters, converged, step, _ = c
+            active = jnp.logical_not(converged)          # (B_loc,)
+            am = active[:, None, None].astype(g_loc.dtype)
+            ups = mv(S_loc, p)
+            alpha = eta / vdot(p, ups)
+            lam = lam + am * alpha[:, None, None] * p
+            r = r - am * alpha[:, None, None] * ups
+            rt = apply_pinv(r)
+            eta_new = jnp.where(active, vdot(r, rt), eta)
+            conv_new = jnp.abs(eta_new) < tol
+            beta = eta_new / eta
+            # freeze p (and eta via eta_new above) for converged systems
+            p = jnp.where(active[:, None, None],
+                          rt + beta[:, None, None] * p, p)
+            iters = iters + active.astype(jnp.int32)
+            converged = jnp.logical_or(converged, conv_new)
+            return (lam, r, p, eta_new, iters, converged, step + 1,
+                    fleet_done(converged))
+
+        init = (l_loc, r, p, eta, jnp.zeros((B_loc,), jnp.int32),
+                jnp.zeros((B_loc,), bool), jnp.zeros((), jnp.int32),
+                jnp.zeros((), bool))
+        lam, r, p, eta, iters, converged, _, _ = jax.lax.while_loop(
+            cond, body, init)
+        return lam, iters, converged, eta
+
+    bspec = (P() if batch_axis_name is None else P(batch_axis_name))
+    shard = P(*bspec, axis_name)
+    lam, iters, conv, eta = jax.shard_map(
+        solve_local, mesh=mesh,
+        in_specs=(shard, shard, shard, shard),
+        out_specs=(shard, bspec, bspec, bspec),
+        check_vma=False,
+    )(S_blocks, S_blocks if Pinv_blocks is None else Pinv_blocks,
+      gamma, lam0)
+    return PCGResult(lam=lam, iters=iters, converged=conv, eta=eta)
+
+
+def pcg_solve_sharded(S, gamma, lam0=None, *, mesh: Mesh,
+                      axis_name: str = "knot",
+                      config: Optional[PCGConfig] = None,
+                      Pinv: Optional[BlockTridiag] = None) -> PCGResult:
+    """Convenience wrapper: builds the preconditioner, shards inputs over the
+    mesh, and runs the knot-sharded solve."""
+    from tpcg import precond
+    from tpcg.solver.api import _as_bt
+
+    S = _as_bt(S)
+    gamma = jnp.asarray(gamma)
+    lam0 = jnp.zeros_like(gamma) if lam0 is None else jnp.asarray(lam0)
+    config = config or PCGConfig()
+    identity = config.preconditioner == "identity" and Pinv is None
+    pinv_blocks = None
+    if not identity:
+        pinv_blocks = precond.materialize(S, config, Pinv).blocks
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    S_blocks = jax.device_put(S.blocks, sharding)
+    gamma = jax.device_put(gamma, sharding)
+    lam0 = jax.device_put(lam0, sharding)
+    if pinv_blocks is not None:
+        pinv_blocks = jax.device_put(pinv_blocks, sharding)
+    return pcg_knot_sharded(S_blocks, pinv_blocks, gamma, lam0, mesh=mesh,
+                            axis_name=axis_name, exit_tol=config.exit_tol,
+                            max_iter=config.max_iter,
+                            identity_pinv=identity)

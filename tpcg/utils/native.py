@@ -44,12 +44,16 @@ def _find_lib():
                     ctypes.c_int64,                   # K
                     ctypes.POINTER(ctypes.c_double),  # out blocks
                 ]
-                lib.tpcg_refflat_to_cbtd.restype = ctypes.c_int
-                lib.tpcg_refflat_to_cbtd.argtypes = [
-                    ctypes.POINTER(ctypes.c_double),
-                    ctypes.c_int64, ctypes.c_int64,
-                    ctypes.POINTER(ctypes.c_double),
-                ]
+                _f64p = ctypes.POINTER(ctypes.c_double)
+                for fname in ("tpcg_refflat_to_cbtd", "tpcg_cbtd_to_refflat",
+                              "tpcg_dense_to_cbtd"):
+                    f = getattr(lib, fname)
+                    f.restype = ctypes.c_int
+                    f.argtypes = [_f64p, ctypes.c_int64, ctypes.c_int64,
+                                  _f64p]
+                lib.tpcg_validate_cbtd.restype = ctypes.c_int
+                lib.tpcg_validate_cbtd.argtypes = [
+                    _f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_double]
                 _LIB = lib
             except OSError:
                 _LIB = None
@@ -98,6 +102,24 @@ def _csr_to_cbtd_numpy(row_ptr, col_ind, val, n: int, K: int) -> np.ndarray:
     ok = ~bad
     out[brow[ok], d[ok], r[ok], c[ok]] = val[ok]
     return out
+
+
+def validate_cbtd(blocks, tol: float = 0.0) -> int:
+    """Structural validation (native when available): 0 ok, 1 nonzero pad
+    slots, 3 asymmetric off-diagonals. Numpy fallback mirrors the C++."""
+    b = np.ascontiguousarray(blocks, dtype=np.float64)
+    K, _, n, _ = b.shape
+    lib = _find_lib()
+    if lib is not None:
+        return lib.tpcg_validate_cbtd(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, K,
+            ctypes.c_double(tol))
+    if np.any(b[0, 0] != 0) or np.any(b[-1, 2] != 0):
+        return 1
+    if K > 1 and np.max(np.abs(b[:-1, 2] -
+                               np.swapaxes(b[1:, 0], -1, -2))) > tol:
+        return 3
+    return 0
 
 
 def refflat_to_cbtd(flat, n: int, K: int) -> np.ndarray:

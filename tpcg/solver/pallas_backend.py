@@ -23,6 +23,9 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
 
     ``Pinv_blocks=None`` selects the identity-preconditioner fast path.
     """
+    from tpcg.utils.feasibility import check_fused_fits
+    check_fused_fits(S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
+                     identity_pinv=Pinv_blocks is None)
     S_lm = to_lane_major(S_blocks)
     Pinv_lm = None if Pinv_blocks is None else to_lane_major(
         Pinv_blocks)
@@ -39,7 +42,10 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
 def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                        max_iter: int, interpret: bool = False) -> PCGResult:
     """Batched fused solve: ``S_blocks (B, K, 3, n, n)``, vectors
-    ``(B, K, n)``."""
+    ``(B, K, n)``. VMEM holds one system per grid step."""
+    from tpcg.utils.feasibility import check_fused_fits
+    check_fused_fits(S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
+                     identity_pinv=Pinv_blocks is None)
     to_lm = jax.vmap(to_lane_major)
     S_lm = to_lm(S_blocks)
     Pinv_lm = None if Pinv_blocks is None else to_lm(Pinv_blocks)

@@ -1,0 +1,63 @@
+"""Resource feasibility checks for the fused solve.
+
+The reference's only capacity validation is ``checkPcgOccupancy``
+(/root/reference/include/pcg.cuh:23-49): it rejects knot_points beyond the
+GPU's co-resident-block capacity — and its call site is commented out
+(interface.cuh:112), so nothing actually guards the launch. The reference
+also under-sizes its shared memory by ``2*state_size`` elements in some
+configs (pcg.cuh:15-19 vs the pointer layout at :83-96; SURVEY.md §5.2).
+
+The TPU fused kernel has no co-residency constraint (Pallas grid steps are
+sequential), but it does keep the whole working set in VMEM. This module
+sizes that working set explicitly — the structural fix for the reference's
+smem-undercount class of bug — and is CALLED (not commented out) by the
+Pallas backend to fail fast with a clear message.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Usable VMEM per TPU core. 16 MiB arch size minus headroom for Mosaic's
+# own double-buffering and spills.
+VMEM_BYTES = 16 * 1024 * 1024
+VMEM_HEADROOM = 0.75
+
+
+def fused_vmem_bytes(state_size: int, knot_points: int, dtype=jnp.float32,
+                     identity_pinv: bool = False) -> int:
+    """Bytes of VMEM the fused kernel's working set needs: S (+ Pinv) in
+    lane-major layout plus ~6 (n, K) vectors (gamma, lam, r, p, r_tilde,
+    upsilon) with the state axis padded to the f32 sublane tile (8)."""
+    n, K = state_size, knot_points
+    itemsize = jnp.dtype(dtype).itemsize
+    n_pad = -(-n // 8) * 8
+    K_pad = -(-K // 128) * 128
+    mats = 1 if identity_pinv else 2
+    mat_bytes = mats * 3 * n * n_pad * K_pad * itemsize
+    vec_bytes = 6 * n_pad * K_pad * itemsize
+    return mat_bytes + vec_bytes
+
+
+def check_fused_fits(state_size: int, knot_points: int, dtype=jnp.float32,
+                     identity_pinv: bool = False) -> None:
+    """Raise ValueError (with the max feasible knot_points) if the fused
+    kernel's working set exceeds VMEM."""
+    need = fused_vmem_bytes(state_size, knot_points, dtype, identity_pinv)
+    budget = int(VMEM_BYTES * VMEM_HEADROOM)
+    if need > budget:
+        # binary-search the max K that fits
+        lo, hi = 1, knot_points
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if fused_vmem_bytes(state_size, mid, dtype,
+                                identity_pinv) <= budget:
+                lo = mid
+            else:
+                hi = mid - 1
+        raise ValueError(
+            f"fused PCG kernel working set ({need/2**20:.1f} MiB) exceeds "
+            f"the VMEM budget ({budget/2**20:.1f} MiB) for state_size="
+            f"{state_size}, knot_points={knot_points}. Max feasible "
+            f"knot_points at this state_size is ~{lo}; shard the knot axis "
+            f"(tpcg.parallel.knot_sharded) or use backend='jnp'.")

@@ -63,24 +63,58 @@ def chain_solves(solve_fn: Callable, repeats: int):
 
 
 def device_solve_time(solve_fn: Callable, S, Pinv, gamma, lam0,
-                      repeats: int = 256, reps: int = 12,
+                      repeats: int = 2048, reps: int = 7,
                       lo_repeats: int = None) -> float:
     """Seconds per solve, measured on-device via :func:`chain_solves`.
 
-    Uses a two-point slope: times a chain of ``lo_repeats`` (default
-    repeats//4) and one of ``repeats``; the per-solve time is
-    ``(t_hi - t_lo) / (repeats - lo_repeats)``. Any per-dispatch transport
-    cost (which on remote-attached chips can be large and phase-dependent)
-    appears identically in both and cancels. Falls back to ``t_hi/repeats``
-    if noise makes the slope non-positive (an upper bound)."""
-    lo = lo_repeats if lo_repeats is not None else max(1, repeats // 4)
-    t_lo = wall_time(chain_solves(solve_fn, lo), S, Pinv, gamma, lam0,
-                     warmup=2, reps=reps)
-    t_hi = wall_time(chain_solves(solve_fn, repeats), S, Pinv, gamma, lam0,
-                     warmup=2, reps=reps)
-    if t_hi > t_lo:
-        return (t_hi - t_lo) / (repeats - lo)
-    return t_hi / repeats
+    Methodology, forced by the remote-attached transport (see CLAUDE.md):
+
+    * two-point slope between chain lengths ``lo`` and ``hi`` — per-call
+      transport cost (phases of ~30 ms per dispatch were observed) appears
+      in both and cancels;
+    * every timed call receives a DIFFERENT scalar nudge folded into gamma —
+      identical-input calls were observed to return in ~27 µs even for a
+      32768-solve chain (result memoization somewhere in the transport), so
+      repeat-timing identical calls measures nothing;
+    * median over reps — robust to occasional slow-phase dispatches on
+      either side.
+    """
+    import statistics
+
+    hi = repeats
+    lo = lo_repeats if lo_repeats is not None else max(1, hi // 8)
+
+    def timed_chain(n_chain):
+        chained = chain_solves(solve_fn, n_chain)
+
+        @jax.jit
+        def fn(S_, P_, g_, l_, idx):
+            return chained(S_, P_, g_ + idx * 1e-30, l_)
+
+        # Synchronize by FETCHING the scalar chain output, not
+        # block_until_ready: the transport was observed to ack readiness
+        # before execution completes, while a host fetch always waits.
+        float(fn(S, Pinv, gamma, lam0, jnp.zeros((), gamma.dtype))[0])
+        times = []
+        for i in range(reps):
+            idx = jnp.asarray(float(i + 1), gamma.dtype)
+            t0 = time.perf_counter()
+            float(fn(S, Pinv, gamma, lam0, idx)[0])
+            times.append(time.perf_counter() - t0)
+        return statistics.median(times)
+
+    # The transport occasionally enters a mode where even multi-thousand
+    # solve chains "complete" in ~30 µs (acks before execution?). A chained
+    # call that fast is physically impossible for any nontrivial solve —
+    # treat it as invalid and retry after a pause; bounded attempts.
+    for attempt in range(3):
+        t_lo = timed_chain(lo)
+        t_hi = timed_chain(hi)
+        plausible = t_hi >= hi * 1e-7  # no real solve beats 0.1 us
+        if t_hi > t_lo and plausible:
+            return (t_hi - t_lo) / (hi - lo)
+        time.sleep(5.0)
+    return t_hi / hi  # upper bound; transport never became sane
 
 
 @contextlib.contextmanager

@@ -18,6 +18,7 @@ from tpcg.layout import (from_reference_flat, to_reference_flat,
                          random_spd_cbtd)
 from tpcg.solver.api import (pcg_solve, pcg_solve_batched,
                              solve_reference_flat, PCGSolver)
+from tpcg.solver.implicit_diff import pcg_solve_grad
 from tpcg import precond
 
 __version__ = "0.1.0"
@@ -28,5 +29,5 @@ __all__ = [
     "from_reference_flat", "to_reference_flat", "dense_to_cbtd",
     "cbtd_to_dense", "from_csr", "random_spd_cbtd",
     "pcg_solve", "pcg_solve_batched", "solve_reference_flat", "PCGSolver",
-    "precond",
+    "pcg_solve_grad", "precond",
 ]

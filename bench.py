@@ -108,6 +108,18 @@ def main():
                               "symmetric_stair")
         if K == 128:
             headline_fused, headline_xla = t_f, t_x
+            # fully-fused variant: preconditioner CONSTRUCTED inside the
+            # solve kernel (Gauss-Jordan on VPU) — the end-to-end MPC step
+            def fused_ink(S_, P_, g_, l_):
+                return pallas_backend.pcg_pallas(
+                    S_, None, g_, l_, exit_tol=1e-6, max_iter=100,
+                    precond="symmetric_stair", interpret=interp)
+            r_ink = fused_ink(S.blocks, None, g, jnp.zeros_like(g))
+            t_ink = device_solve_time(fused_ink, S.blocks, S.blocks, g,
+                                      jnp.zeros_like(g))
+            rows.append(("iiwa14 K=128 in-kernel build+solve", t_ink * 1e6,
+                         int(r_ink.iters), bool(r_ink.converged),
+                         float("nan")))
             # single-call host-side latency (includes dispatch transport)
             one = fused_fn(1e-6, 100)
             disp = wall_time(one, S.blocks,

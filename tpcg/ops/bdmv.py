@@ -84,14 +84,14 @@ def vec_to_lane_major(x):
 
 def _lane_shift_down(x, n, K):
     """Lane-major down-shift: y[:, k] = x[:, k-1], y[:, 0] = 0."""
-    shifted = pltpu.roll(x, shift=1, axis=1)
+    shifted = jnp.roll(x, 1, axis=1)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
     return jnp.where(k_ids == 0, 0, shifted)
 
 
 def _lane_shift_up(x, n, K):
     """Lane-major up-shift: y[:, k] = x[:, k+1], y[:, K-1] = 0."""
-    shifted = pltpu.roll(x, shift=K - 1, axis=1)  # roll is circular; -1 == K-1
+    shifted = jnp.roll(x, -1, axis=1)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
     return jnp.where(k_ids == K - 1, 0, shifted)
 

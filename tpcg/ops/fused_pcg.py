@@ -39,20 +39,43 @@ from tpcg.ops.bdmv import bdmv_lane_major
 
 def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                 lam_ref, iters_ref, conv_ref, eta_ref,
-                *, n, K, max_iter, identity_pinv, out_idx=0):
-    """Kernel body. ``pinv_ref is S_ref`` when identity_pinv (arg unused).
+                *, n, K, max_iter, precond, out_idx=0):
+    """Kernel body.
+
+    ``precond`` selects the preconditioner strategy:
+      * ``"explicit"`` — apply the prebuilt ``pinv_ref`` (cbtd bdmv);
+      * ``"identity"`` — elide the apply entirely (``pinv_ref`` unused; the
+        reference's ``empty_pinv`` promise, actually kept);
+      * ``"block_jacobi"`` / ``"symmetric_stair"`` — CONSTRUCT Phi^-1 inside
+        the kernel from S (batched Gauss-Jordan inversions + products on the
+        VPU, tpcg/ops/smallinv.py) — build + whole solve in one kernel
+        launch, the full fusion of what MPCGPU does in separate
+        assembly kernels before calling the reference solver.
+
     Scalar diagnostics are stored at ``out_idx`` in their SMEM refs (0 for
     the single-system kernel; ``program_id`` for the grid-batched one)."""
+    from tpcg.ops.smallinv import (blockdiag_mv_lane_major,
+                                   build_pinv_lane_major)
+
     S = S_ref[:, :, :, :]
     gamma = gamma_ref[:, :]
     lam0 = lam0_ref[:, :]
     tol = tol_ref[0]
 
-    if identity_pinv:
+    if precond == "identity":
         apply_pinv = lambda v: v
-    else:
+    elif precond == "explicit":
         Pinv = pinv_ref[:, :, :, :]
         apply_pinv = lambda v: bdmv_lane_major(Pinv, v, n=n, K=K)
+    elif precond == "block_jacobi":
+        from tpcg.ops.smallinv import gj_inverse_lane_major
+        Dinv_t = gj_inverse_lane_major(S[1], n, K)
+        apply_pinv = lambda v: blockdiag_mv_lane_major(Dinv_t, v, n, K)
+    elif precond == "symmetric_stair":
+        Pinv = build_pinv_lane_major(S, "symmetric_stair", n, K)
+        apply_pinv = lambda v: bdmv_lane_major(Pinv, v, n=n, K=K)
+    else:
+        raise ValueError(f"bad precond {precond!r}")
 
     mv = lambda v: bdmv_lane_major(S, v, n=n, K=K)
     vdot = lambda a, b: jnp.sum(a * b)
@@ -95,9 +118,10 @@ def _scalar_spec():
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_iter", "interpret"))
+                   static_argnames=("max_iter", "precond", "interpret"))
 def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
-                         exit_tol, max_iter: int, interpret: bool = False):
+                         exit_tol, max_iter: int, precond: str = None,
+                         interpret: bool = False):
     """Run the fused solve on lane-major inputs.
 
     Args:
@@ -106,19 +130,25 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
         fast path (implemented for real here; the reference's ``empty_pinv``
         never was — SURVEY.md §3.1).
       gamma_lm, lam0_lm: ``(n, K)``.
+      precond: ``None`` (infer explicit/identity from ``Pinv_lm``) or one of
+        ``"block_jacobi"`` / ``"symmetric_stair"`` to build Phi^-1 inside
+        the kernel from S (``Pinv_lm`` must be None then).
     Returns:
       ``(lam_lm (n, K), iters (), converged (), eta ())``.
     """
     _, n, _, K = S_lm.shape
     dtype = S_lm.dtype
-    identity_pinv = Pinv_lm is None
-    if identity_pinv:
+    if precond is None:
+        precond = "identity" if Pinv_lm is None else "explicit"
+    if precond != "explicit" and Pinv_lm is not None:
+        raise ValueError(f"Pinv_lm must be None with precond={precond!r}")
+    if Pinv_lm is None:
         Pinv_lm = S_lm  # placeholder operand; unused by the kernel
 
     tol = jnp.asarray([exit_tol], dtype=dtype)
 
     kernel = functools.partial(_pcg_kernel, n=n, K=K, max_iter=max_iter,
-                               identity_pinv=identity_pinv)
+                               precond=precond)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     lam, iters, conv, eta = pl.pallas_call(
         kernel,
@@ -137,7 +167,7 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
 
 def _pcg_batched_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                         lam_ref, iters_ref, conv_ref, eta_ref,
-                        *, n, K, max_iter, identity_pinv):
+                        *, n, K, max_iter, precond):
     """Grid-over-batch variant: one grid step = one full solve. Pallas grid
     steps run sequentially on a core, mirroring how independent MPC systems
     would queue on the reference's single GPU — but with S/Pinv block DMA
@@ -149,13 +179,14 @@ def _pcg_batched_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
     _pcg_kernel(tol_ref,
                 S_ref.at[0], pinv_ref.at[0], gamma_ref.at[0], lam0_ref.at[0],
                 lam_ref.at[0], iters_ref, conv_ref, eta_ref,
-                n=n, K=K, max_iter=max_iter, identity_pinv=identity_pinv,
-                out_idx=b)
+                n=n, K=K, max_iter=max_iter, precond=precond, out_idx=b)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_iter", "precond", "interpret"))
 def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
                                  exit_tol, max_iter: int,
+                                 precond: str = None,
                                  interpret: bool = False):
     """Batched fused solve: leading batch axis B on all operands.
 
@@ -164,14 +195,16 @@ def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
     """
     B, _, n, _, K = S_lm.shape
     dtype = S_lm.dtype
-    identity_pinv = Pinv_lm is None
-    if identity_pinv:
+    if precond is None:
+        precond = "identity" if Pinv_lm is None else "explicit"
+    if precond != "explicit" and Pinv_lm is not None:
+        raise ValueError(f"Pinv_lm must be None with precond={precond!r}")
+    if Pinv_lm is None:
         Pinv_lm = S_lm
 
     tol = jnp.asarray([exit_tol], dtype=dtype)
     kernel = functools.partial(_pcg_batched_kernel, n=n, K=K,
-                               max_iter=max_iter,
-                               identity_pinv=identity_pinv)
+                               max_iter=max_iter, precond=precond)
 
     def block(shape):
         return pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),

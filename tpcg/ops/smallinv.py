@@ -1,0 +1,118 @@
+"""Batched small-matrix linear algebra in lane-major layout, for use INSIDE
+Pallas kernels.
+
+These are the primitives that let the preconditioner be CONSTRUCTED inside
+the fused solve kernel (tpcg/ops/fused_pcg.py) instead of in a separate XLA
+region: K dense ``n x n`` inversions and products, vectorized over the
+128-wide lane (knot) axis with the tiny state dims unrolled. In the
+reference's ecosystem this construction work is what MPCGPU's own kernels do
+with the §2.7 block helpers before calling the solver; here it fuses into
+the same kernel launch.
+
+All functions are pure jnp on VALUES (not refs), so they can be called from
+kernel bodies and from regular jitted code (and therefore unit-tested in
+interpret mode against numpy).
+
+Mosaic constraints honored (probed on hardware): 3D leading-dim and sublane
+broadcasts are supported; 4D broadcasts and in-kernel ``.at[].set`` row
+scatter are not — Gauss-Jordan row updates use broadcasted-iota row masks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gj_inverse_lane_major(M, n: int, K: int):
+    """Invert K matrices stored lane-major: ``M (n, n, K)`` with
+    ``M[r, c, k]`` = entry (r, c) of matrix k. Returns ``(n, n, K)``.
+
+    Unrolled Gauss-Jordan WITHOUT pivoting — intended for the SPD diagonal
+    blocks of trajectory-opt KKT systems (same assumption the symmetric-
+    stair/block-Jacobi preconditioners make; a zero pivot would mean a
+    singular diagonal block and a meaningless preconditioner anyway).
+    ~6n ops on (n, n, K) pages total.
+    """
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 0)
+    inv = jnp.broadcast_to(
+        jnp.eye(n, dtype=M.dtype)[:, :, None], (n, n, K)).astype(M.dtype)
+    for i in range(n):
+        is_row_i = row_ids == i                       # (n, n, K) mask
+        inv_piv = 1.0 / M[i, i, :]                    # (K,)
+        scale = inv_piv[None, None, :]
+        M = jnp.where(is_row_i, M * scale, M)
+        inv = jnp.where(is_row_i, inv * scale, inv)
+        # eliminate column i from every other row
+        col = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (n, K), 0) == i, 0.0,
+            M[:, i, :])                               # (n, K), row i zeroed
+        M = M - col[:, None, :] * M[i, :, :][None, :, :]
+        inv = inv - col[:, None, :] * inv[i, :, :][None, :, :]
+    return inv
+
+
+def matmul_lane_major(A, B, n: int, K: int):
+    """``C[r, c, k] = sum_j A[r, j, k] B[j, c, k]`` for ``(n, n, K)``
+    operands — K independent n x n matmuls as n outer-product accumulations
+    (MXU cannot batch over lanes; at n <= 14 the VPU form wins)."""
+    C = jnp.zeros((n, n, K), A.dtype)
+    for j in range(n):
+        C = C + A[:, j, :][:, None, :] * B[j, :, :][None, :, :]
+    return C
+
+
+def blockdiag_mv_lane_major(Dt, x, n: int, K: int):
+    """``y[r, k] = sum_c Dt[c, r, k] x[c, k]`` — K independent block-diagonal
+    matvecs in the STORED (transposed, column-first) convention shared with
+    ``S_lm`` (the block-Jacobi apply: n FMA pages instead of the full
+    bdmv's 3n)."""
+    return jnp.sum(Dt * x[:, None, :], axis=0)
+
+
+def shift_mats_down(D, n: int, K: int):
+    """``out[:, :, k] = D[:, :, k-1]``, zeros at k=0 (lane-axis roll +
+    boundary mask, like the vector halo shifts in tpcg/ops/bdmv.py)."""
+    rolled = jnp.roll(D, 1, axis=2)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 2)
+    return jnp.where(k_ids == 0, 0.0, rolled)
+
+
+def shift_mats_up(D, n: int, K: int):
+    """``out[:, :, k] = D[:, :, k+1]``, zeros at k=K-1."""
+    rolled = jnp.roll(D, -1, axis=2)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 2)
+    return jnp.where(k_ids == K - 1, 0.0, rolled)
+
+
+def build_pinv_lane_major(S_lm, kind: str, n: int, K: int):
+    """Construct Phi^-1 in lane-major cbtd form ``(3, n_col, n_row, K)``
+    from ``S_lm`` of the same layout, entirely with VPU ops.
+
+    Mirrors tpcg/precond (the XLA builders) block-for-block:
+      block_jacobi:    [0, D^-1, 0]
+      symmetric_stair: [-D^-1 L D_dn^-1, D^-1, -D^-1 R D_up^-1]
+
+    Layout note: lane-major stores blocks (column, row)-indexed
+    (``lm[d, c, r, k] = blocks[k, d, r, c]``), i.e. each ``S_lm[d]`` is the
+    TRANSPOSE of the math block per lane. Products are computed in
+    transposed space: ``(XY)^T = Y^T X^T``.
+    """
+    if kind not in ("block_jacobi", "symmetric_stair"):
+        raise ValueError(f"unsupported in-kernel preconditioner {kind!r}")
+    Dt = S_lm[1]                                   # D^T per lane, (n, n, K)
+    Dinv_t = gj_inverse_lane_major(Dt, n, K)       # (D^-1)^T = (D^T)^-1
+    zeros = jnp.zeros_like(Dinv_t)
+    if kind == "block_jacobi":
+        return jnp.stack([zeros, Dinv_t, zeros])
+    Lt = S_lm[0]                                   # L^T per lane
+    Rt = S_lm[2]
+    Dinv_t_dn = shift_mats_down(Dinv_t, n, K)      # (D_{k-1}^-1)^T at k
+    Dinv_t_up = shift_mats_up(Dinv_t, n, K)
+    # left_k  = -Dinv_k L_k Dinv_{k-1}; transposed:
+    # left^T  = -Dinv_{k-1}^T L^T Dinv_k^T
+    left_t = -matmul_lane_major(
+        matmul_lane_major(Dinv_t_dn, Lt, n, K), Dinv_t, n, K)
+    right_t = -matmul_lane_major(
+        matmul_lane_major(Dinv_t_up, Rt, n, K), Dinv_t, n, K)
+    return jnp.stack([left_t, Dinv_t, right_t])

@@ -83,7 +83,12 @@ def pcg_solve(S, gamma, lam0=None, *,
 
     backend = _pick_backend(backend, S.dtype)
     identity = config.preconditioner == "identity" and Pinv is None
-    if not identity:
+    # The Pallas backend constructs block-Jacobi / symmetric-stair Phi^-1
+    # INSIDE the solve kernel — no separate build region, no Pinv in HBM.
+    in_kernel = (backend == "pallas" and Pinv is None and
+                 config.preconditioner in ("block_jacobi",
+                                           "symmetric_stair"))
+    if not identity and not in_kernel:
         Pinv = precond.materialize(S, config, Pinv)
 
     if backend == "jnp":
@@ -94,10 +99,11 @@ def pcg_solve(S, gamma, lam0=None, *,
             identity_pinv=identity)
     else:
         from tpcg.solver import pallas_backend
-        pinv_blocks = None if identity else Pinv.blocks
+        pinv_blocks = None if (identity or in_kernel) else Pinv.blocks
         return pallas_backend.pcg_pallas(
             S.blocks, pinv_blocks, gamma, lam0,
-            exit_tol=config.exit_tol, max_iter=config.max_iter)
+            exit_tol=config.exit_tol, max_iter=config.max_iter,
+            precond=config.preconditioner if in_kernel else None)
 
 
 def pcg_solve_batched(S, gamma, lam0=None, *,
@@ -121,15 +127,19 @@ def pcg_solve_batched(S, gamma, lam0=None, *,
 
     backend = _pick_backend(backend, S.dtype)
     identity = config.preconditioner == "identity" and Pinv is None
-    if not identity:
+    in_kernel = (backend == "pallas" and Pinv is None and
+                 config.preconditioner in ("block_jacobi",
+                                           "symmetric_stair"))
+    if not identity and not in_kernel:
         Pinv = precond.materialize(S, config, Pinv)
 
     if backend == "pallas":
         from tpcg.solver import pallas_backend
-        pinv_blocks = None if identity else Pinv.blocks
+        pinv_blocks = None if (identity or in_kernel) else Pinv.blocks
         return pallas_backend.pcg_pallas_batched(
             S.blocks, pinv_blocks, gamma, lam0,
-            exit_tol=config.exit_tol, max_iter=config.max_iter)
+            exit_tol=config.exit_tol, max_iter=config.max_iter,
+            precond=config.preconditioner if in_kernel else None)
 
     pblocks = S.blocks if identity else Pinv.blocks
     solve1 = lambda s, p, g, l: jnp_backend.pcg_jnp(

@@ -16,12 +16,17 @@ from tpcg.ops.fused_pcg import (fused_pcg_lane_major,
 from tpcg.types import PCGResult
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_iter", "precond", "interpret"))
 def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
-               max_iter: int, interpret: bool = False) -> PCGResult:
+               max_iter: int, precond: str = None,
+               interpret: bool = False) -> PCGResult:
     """Single-system fused solve; canonical layout in/out.
 
-    ``Pinv_blocks=None`` selects the identity-preconditioner fast path.
+    ``Pinv_blocks=None`` selects the identity-preconditioner fast path —
+    unless ``precond`` names ``"block_jacobi"``/``"symmetric_stair"``, in
+    which case Phi^-1 is CONSTRUCTED inside the kernel from S (one launch
+    for build + solve).
     """
     from tpcg.utils.feasibility import check_fused_fits
     check_fused_fits(S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
@@ -32,15 +37,17 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     gamma_lm = vec_to_lane_major(gamma)
     lam0_lm = vec_to_lane_major(lam0)
     lam_lm, iters, conv, eta = fused_pcg_lane_major(
-        S_lm, Pinv_lm, gamma_lm, lam0_lm,
-        exit_tol=exit_tol, max_iter=max_iter, interpret=interpret)
+        S_lm, Pinv_lm, gamma_lm, lam0_lm, exit_tol=exit_tol,
+        max_iter=max_iter, precond=precond, interpret=interpret)
     return PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
                      converged=conv, eta=eta)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("max_iter", "precond", "interpret"))
 def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
-                       max_iter: int, interpret: bool = False) -> PCGResult:
+                       max_iter: int, precond: str = None,
+                       interpret: bool = False) -> PCGResult:
     """Batched fused solve: ``S_blocks (B, K, 3, n, n)``, vectors
     ``(B, K, n)``. VMEM holds one system per grid step."""
     from tpcg.utils.feasibility import check_fused_fits
@@ -52,7 +59,7 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     gamma_lm = jnp.swapaxes(gamma, -1, -2)
     lam0_lm = jnp.swapaxes(lam0, -1, -2)
     lam_lm, iters, conv, eta = fused_pcg_lane_major_batched(
-        S_lm, Pinv_lm, gamma_lm, lam0_lm,
-        exit_tol=exit_tol, max_iter=max_iter, interpret=interpret)
+        S_lm, Pinv_lm, gamma_lm, lam0_lm, exit_tol=exit_tol,
+        max_iter=max_iter, precond=precond, interpret=interpret)
     return PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
                      converged=conv, eta=eta)

@@ -39,7 +39,8 @@ from tpcg.ops.bdmv import bdmv_lane_major
 
 def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                 lam_ref, iters_ref, conv_ref, eta_ref,
-                *, n, K, max_iter, precond, out_idx=0):
+                *, n, K, max_iter, precond, stop_on_nonfinite=False,
+                out_idx=0):
     """Kernel body.
 
     ``precond`` selects the preconditioner strategy:
@@ -88,8 +89,11 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
     eta = vdot(r, rt)
 
     def cond(c):
-        _lam, _r, _p, _eta, iters, converged = c
-        return jnp.logical_and(iters < max_iter, jnp.logical_not(converged))
+        _lam, _r, _p, eta, iters, converged = c
+        go = jnp.logical_and(iters < max_iter, jnp.logical_not(converged))
+        if stop_on_nonfinite:
+            go = jnp.logical_and(go, jnp.isfinite(eta))
+        return go
 
     def body(c):
         lam, r, p, eta, iters, _ = c
@@ -104,7 +108,10 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         p = rt + beta * p                        #  converged — loop exits)
         return (lam, r, p, eta_new, iters + 1, converged)
 
-    init = (lam0, r, p, eta, jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+    # pre-loop tolerance check: already-converged warm starts report 0
+    # iterations instead of NaN-ing through alpha=0/0 (deviation from
+    # pcg.cuh:154-169; SURVEY.md §7 quirk policy)
+    init = (lam0, r, p, eta, jnp.zeros((), jnp.int32), jnp.abs(eta) < tol)
     lam, r, p, eta, iters, converged = jax.lax.while_loop(cond, body, init)
 
     lam_ref[:, :] = lam
@@ -118,9 +125,11 @@ def _scalar_spec():
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_iter", "precond", "interpret"))
+                   static_argnames=("max_iter", "precond",
+                                    "stop_on_nonfinite", "interpret"))
 def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
                          exit_tol, max_iter: int, precond: str = None,
+                         stop_on_nonfinite: bool = False,
                          interpret: bool = False):
     """Run the fused solve on lane-major inputs.
 
@@ -148,7 +157,8 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
     tol = jnp.asarray([exit_tol], dtype=dtype)
 
     kernel = functools.partial(_pcg_kernel, n=n, K=K, max_iter=max_iter,
-                               precond=precond)
+                               precond=precond,
+                               stop_on_nonfinite=stop_on_nonfinite)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     lam, iters, conv, eta = pl.pallas_call(
         kernel,
@@ -167,7 +177,8 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
 
 def _pcg_batched_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                         lam_ref, iters_ref, conv_ref, eta_ref,
-                        *, n, K, max_iter, precond):
+                        *, n, K, max_iter, precond,
+                        stop_on_nonfinite=False):
     """Grid-over-batch variant: one grid step = one full solve. Pallas grid
     steps run sequentially on a core, mirroring how independent MPC systems
     would queue on the reference's single GPU — but with S/Pinv block DMA
@@ -179,14 +190,17 @@ def _pcg_batched_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
     _pcg_kernel(tol_ref,
                 S_ref.at[0], pinv_ref.at[0], gamma_ref.at[0], lam0_ref.at[0],
                 lam_ref.at[0], iters_ref, conv_ref, eta_ref,
-                n=n, K=K, max_iter=max_iter, precond=precond, out_idx=b)
+                n=n, K=K, max_iter=max_iter, precond=precond,
+                stop_on_nonfinite=stop_on_nonfinite, out_idx=b)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_iter", "precond", "interpret"))
+                   static_argnames=("max_iter", "precond",
+                                    "stop_on_nonfinite", "interpret"))
 def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
                                  exit_tol, max_iter: int,
                                  precond: str = None,
+                                 stop_on_nonfinite: bool = False,
                                  interpret: bool = False):
     """Batched fused solve: leading batch axis B on all operands.
 
@@ -204,7 +218,8 @@ def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
 
     tol = jnp.asarray([exit_tol], dtype=dtype)
     kernel = functools.partial(_pcg_batched_kernel, n=n, K=K,
-                               max_iter=max_iter, precond=precond)
+                               max_iter=max_iter, precond=precond,
+                               stop_on_nonfinite=stop_on_nonfinite)
 
     def block(shape):
         return pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),

@@ -118,7 +118,7 @@ def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
         out = jax.lax.while_loop(
             cond, body,
             _Carry(l_loc, r, p, eta, jnp.zeros((), jnp.int32),
-                   jnp.zeros((), bool)))
+                   jnp.abs(eta) < tol))
         return out.lam, out.iters, out.converged, out.eta
 
     shard = P(axis_name)
@@ -224,9 +224,9 @@ def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
             return (lam, r, p, eta_new, iters, converged, step + 1,
                     fleet_done(converged))
 
+        conv0 = jnp.abs(eta) < tol
         init = (l_loc, r, p, eta, jnp.zeros((B_loc,), jnp.int32),
-                jnp.zeros((B_loc,), bool), jnp.zeros((), jnp.int32),
-                jnp.zeros((), bool))
+                conv0, jnp.zeros((), jnp.int32), fleet_done(conv0))
         lam, r, p, eta, iters, converged, _, _ = jax.lax.while_loop(
             cond, body, init)
         return lam, iters, converged, eta

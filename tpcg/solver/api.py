@@ -96,14 +96,16 @@ def pcg_solve(S, gamma, lam0=None, *,
         return jnp_backend.pcg_jnp(
             S.blocks, pblocks, gamma, lam0,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
-            identity_pinv=identity)
+            identity_pinv=identity,
+            stop_on_nonfinite=config.stop_on_nonfinite)
     else:
         from tpcg.solver import pallas_backend
         pinv_blocks = None if (identity or in_kernel) else Pinv.blocks
         return pallas_backend.pcg_pallas(
             S.blocks, pinv_blocks, gamma, lam0,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
-            precond=config.preconditioner if in_kernel else None)
+            precond=config.preconditioner if in_kernel else None,
+            stop_on_nonfinite=config.stop_on_nonfinite)
 
 
 def pcg_solve_batched(S, gamma, lam0=None, *,
@@ -139,12 +141,14 @@ def pcg_solve_batched(S, gamma, lam0=None, *,
         return pallas_backend.pcg_pallas_batched(
             S.blocks, pinv_blocks, gamma, lam0,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
-            precond=config.preconditioner if in_kernel else None)
+            precond=config.preconditioner if in_kernel else None,
+            stop_on_nonfinite=config.stop_on_nonfinite)
 
     pblocks = S.blocks if identity else Pinv.blocks
     solve1 = lambda s, p, g, l: jnp_backend.pcg_jnp(
         s, p, g, l, exit_tol=config.exit_tol, max_iter=config.max_iter,
-        identity_pinv=identity)
+        identity_pinv=identity,
+        stop_on_nonfinite=config.stop_on_nonfinite)
     return jax.vmap(solve1)(S.blocks, pblocks, gamma, lam0)
 
 

@@ -50,9 +50,11 @@ def _vdot(a, b):
     return jnp.sum(a * b, axis=(-2, -1))
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv"))
+@functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
+                                              "stop_on_nonfinite"))
 def pcg_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
-            max_iter: int, identity_pinv: bool = False) -> PCGResult:
+            max_iter: int, identity_pinv: bool = False,
+            stop_on_nonfinite: bool = False) -> PCGResult:
     """Run PCG to the reference's semantics. All arrays canonical layout:
     ``S_blocks``/``Pinv_blocks`` ``(K, 3, n, n)``, vectors ``(K, n)``.
 
@@ -75,8 +77,11 @@ def pcg_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     eta = _vdot(r, r_tilde)
 
     def cond(c: _Carry):
-        return jnp.logical_and(c.iters < max_iter,
-                               jnp.logical_not(c.converged))
+        go = jnp.logical_and(c.iters < max_iter,
+                             jnp.logical_not(c.converged))
+        if stop_on_nonfinite:
+            go = jnp.logical_and(go, jnp.isfinite(c.eta))
+        return go
 
     def body(c: _Carry):
         # upsilon = S p  (pcg.cuh:157-160)
@@ -96,8 +101,13 @@ def pcg_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
         p = r_tilde + beta * c.p
         return _Carry(lam, r, p, eta_new, c.iters + 1, converged)
 
+    # Deviation from the reference (quirk policy, SURVEY.md §7): if the
+    # warm start already satisfies the tolerance, report 0 iterations
+    # instead of entering the loop with eta=0 and computing alpha=0/0=NaN
+    # (which is what pcg.cuh:154-169 would do — it never checks before the
+    # first pass).
     init = _Carry(lam0, r, p, eta,
-                  jnp.zeros((), jnp.int32), jnp.zeros((), bool))
+                  jnp.zeros((), jnp.int32), jnp.abs(eta) < exit_tol)
     out = jax.lax.while_loop(cond, body, init)
     return PCGResult(lam=out.lam, iters=out.iters, converged=out.converged,
                      eta=out.eta)

@@ -17,9 +17,11 @@ from tpcg.types import PCGResult
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_iter", "precond", "interpret"))
+                   static_argnames=("max_iter", "precond",
+                                    "stop_on_nonfinite", "interpret"))
 def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                max_iter: int, precond: str = None,
+               stop_on_nonfinite: bool = False,
                interpret: bool = False) -> PCGResult:
     """Single-system fused solve; canonical layout in/out.
 
@@ -38,15 +40,18 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     lam0_lm = vec_to_lane_major(lam0)
     lam_lm, iters, conv, eta = fused_pcg_lane_major(
         S_lm, Pinv_lm, gamma_lm, lam0_lm, exit_tol=exit_tol,
-        max_iter=max_iter, precond=precond, interpret=interpret)
+        max_iter=max_iter, precond=precond,
+        stop_on_nonfinite=stop_on_nonfinite, interpret=interpret)
     return PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
                      converged=conv, eta=eta)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_iter", "precond", "interpret"))
+                   static_argnames=("max_iter", "precond",
+                                    "stop_on_nonfinite", "interpret"))
 def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                        max_iter: int, precond: str = None,
+                       stop_on_nonfinite: bool = False,
                        interpret: bool = False) -> PCGResult:
     """Batched fused solve: ``S_blocks (B, K, 3, n, n)``, vectors
     ``(B, K, n)``. VMEM holds one system per grid step."""
@@ -60,6 +65,7 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     lam0_lm = jnp.swapaxes(lam0, -1, -2)
     lam_lm, iters, conv, eta = fused_pcg_lane_major_batched(
         S_lm, Pinv_lm, gamma_lm, lam0_lm, exit_tol=exit_tol,
-        max_iter=max_iter, precond=precond, interpret=interpret)
+        max_iter=max_iter, precond=precond,
+        stop_on_nonfinite=stop_on_nonfinite, interpret=interpret)
     return PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
                      converged=conv, eta=eta)

@@ -59,6 +59,12 @@ class PCGConfig:
                                       metadata=dict(static=True))
     preconditioner: str = dataclasses.field(default="identity",
                                             metadata=dict(static=True))
+    #: Failure detection (SURVEY.md §5.3 — the reference has none): when
+    #: True, the loop also exits as soon as eta goes non-finite (divergence /
+    #: indefinite system) instead of burning the remaining iterations; the
+    #: result reports converged=False with the non-finite eta as evidence.
+    stop_on_nonfinite: bool = dataclasses.field(default=False,
+                                                metadata=dict(static=True))
 
     def __post_init__(self):
         if self.preconditioner not in PRECONDITIONER_KINDS:

@@ -38,11 +38,15 @@ def test_symmetrize(rng):
 
 
 def test_feasibility_accepts_reference_scales():
-    for n, K in [(2, 3), (12, 64), (14, 128), (14, 512)]:
+    # K=1024 at n=14 verified running on hardware (~8.6 MiB scoped vmem)
+    for n, K in [(2, 3), (12, 64), (14, 128), (14, 512), (14, 1024)]:
         feasibility.check_fused_fits(n, K)  # must not raise
 
 
 def test_feasibility_rejects_huge_and_names_limit():
+    # K=2048 at n=14 verified OOM on hardware (Mosaic: 17.25 MiB > 16 MiB)
+    with pytest.raises(ValueError, match="Max feasible knot_points"):
+        feasibility.check_fused_fits(14, 2048)
     with pytest.raises(ValueError, match="Max feasible knot_points"):
         feasibility.check_fused_fits(14, 200_000)
 

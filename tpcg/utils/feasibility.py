@@ -18,25 +18,32 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# Usable VMEM per TPU core. 16 MiB arch size minus headroom for Mosaic's
-# own double-buffering and spills.
+# Usable VMEM per TPU core (v5e: 16 MiB scoped limit).
 VMEM_BYTES = 16 * 1024 * 1024
-VMEM_HEADROOM = 0.75
+VMEM_HEADROOM = 15 / 16
 
 
 def fused_vmem_bytes(state_size: int, knot_points: int, dtype=jnp.float32,
                      identity_pinv: bool = False) -> int:
-    """Bytes of VMEM the fused kernel's working set needs: S (+ Pinv) in
-    lane-major layout plus ~6 (n, K) vectors (gamma, lam, r, p, r_tilde,
-    upsilon) with the state axis padded to the f32 sublane tile (8)."""
+    """Estimated VMEM working set of the fused kernel: S (+ Pinv) in
+    lane-major layout, ~10 (n, K) vector pages (gamma, lam0 inputs + lam
+    output + r/p/r_tilde/upsilon/shift temporaries in the while carry), with
+    the state axis padded to the f32 sublane tile (8) and lanes to 128.
+
+    The matrix term carries a 1.6x factor calibrated against Mosaic's actual
+    scoped-vmem accounting (at n=14, K=2048 with explicit Pinv, Mosaic
+    reports 17.25 MiB where the raw operands are 11 MiB — value copies,
+    in-kernel preconditioner-build temporaries, and pipeline buffering make
+    up the rest; measured K=1024 runs at ~8.6 MiB against a 5.5 MiB raw
+    operand size)."""
     n, K = state_size, knot_points
     itemsize = jnp.dtype(dtype).itemsize
     n_pad = -(-n // 8) * 8
     K_pad = -(-K // 128) * 128
     mats = 1 if identity_pinv else 2
     mat_bytes = mats * 3 * n * n_pad * K_pad * itemsize
-    vec_bytes = 6 * n_pad * K_pad * itemsize
-    return mat_bytes + vec_bytes
+    vec_bytes = 10 * n_pad * K_pad * itemsize
+    return int(1.6 * mat_bytes) + vec_bytes
 
 
 def check_fused_fits(state_size: int, knot_points: int, dtype=jnp.float32,

@@ -94,3 +94,61 @@ def test_solver_handles_zero_rhs():
         exit_tol=1e-10, max_iter=50, interpret=True)
     assert bool(res_p.converged)
     assert int(res_p.iters) == 0
+
+
+@pytest.mark.parametrize("pre", ["identity", "block_jacobi"])
+def test_pipelined_method_matches_classic(pre):
+    """Pipelined PCG (one sync point/iter) must reach the same solution as
+    the classic method; iteration counts may differ slightly (different
+    method)."""
+    from tpcg.solver.pipelined import pcg_pipelined_jnp
+    from tpcg import precond as precond_mod
+
+    n, K = 6, 32
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(8), n, K,
+                               dtype=jnp.float64)
+    gamma = jnp.ones((K, n), jnp.float64)
+    lam0 = jnp.zeros_like(gamma)
+    identity = pre == "identity"
+    pb = S.blocks if identity else precond_mod.build(S, pre).blocks
+    res_p = pcg_pipelined_jnp(S.blocks, pb, gamma, lam0, exit_tol=1e-12,
+                              max_iter=500, identity_pinv=identity)
+    res_c = jnp_backend.pcg_jnp(S.blocks, pb, gamma, lam0, exit_tol=1e-12,
+                                max_iter=500, identity_pinv=identity)
+    assert bool(res_p.converged) and bool(res_c.converged)
+    assert abs(int(res_p.iters) - int(res_c.iters)) <= 3
+    # both satisfy eta < 1e-12 i.e. |r| ~ 1e-6; different methods' iterates
+    # agree only to that residual level
+    np.testing.assert_allclose(np.asarray(res_p.lam), np.asarray(res_c.lam),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_pipelined_fused_interpret():
+    n, K = 5, 16
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(9), n, K,
+                               dtype=jnp.float32)
+    gamma = jnp.ones((K, n), jnp.float32)
+    res = pallas_backend.pcg_pallas(
+        S.blocks, None, gamma, jnp.zeros_like(gamma), exit_tol=1e-8,
+        max_iter=200, precond="symmetric_stair", method="pipelined",
+        interpret=True)
+    assert bool(res.converged)
+    x_true = np.linalg.solve(np.asarray(S.dense(), np.float64),
+                             np.ones(K * n))
+    np.testing.assert_allclose(np.asarray(res.lam).reshape(-1), x_true,
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_pipelined_via_config():
+    from tpcg import pcg_solve
+
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(10), 4, 8,
+                               dtype=jnp.float64)
+    gamma = jnp.ones((8, 4), jnp.float64)
+    res = pcg_solve(S, gamma,
+                    config=PCGConfig(1e-12, 300, "block_jacobi",
+                                     method="pipelined"), backend="jnp")
+    assert bool(res.converged)
+    x_true = np.linalg.solve(np.asarray(S.dense(), np.float64), np.ones(32))
+    np.testing.assert_allclose(np.asarray(res.lam).reshape(-1), x_true,
+                               rtol=1e-5, atol=1e-6)

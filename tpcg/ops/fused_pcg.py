@@ -40,7 +40,7 @@ from tpcg.ops.bdmv import bdmv_lane_major
 def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                 lam_ref, iters_ref, conv_ref, eta_ref,
                 *, n, K, max_iter, precond, stop_on_nonfinite=False,
-                out_idx=0):
+                method="classic", out_idx=0):
     """Kernel body.
 
     ``precond`` selects the preconditioner strategy:
@@ -81,7 +81,19 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
     mv = lambda v: bdmv_lane_major(S, v, n=n, K=K)
     vdot = lambda a, b: jnp.sum(a * b)
 
-    # --- init: r = gamma - S lam0 ; r_tilde = Pinv r ; p = r_tilde ;
+    if method == "pipelined":
+        from tpcg.solver.pipelined import pipelined_pcg_body
+        lam, iters, converged, eta = pipelined_pcg_body(
+            mv, apply_pinv, vdot, gamma, lam0, tol, max_iter,
+            stop_on_nonfinite)
+        lam_ref[:, :] = lam
+        iters_ref[out_idx] = iters
+        conv_ref[out_idx] = converged.astype(jnp.int32)
+        eta_ref[out_idx] = eta
+        return
+
+    # --- classic method (the reference's exact loop) ---
+    # init: r = gamma - S lam0 ; r_tilde = Pinv r ; p = r_tilde ;
     #           eta = r . r_tilde   (pcg.cuh:118-149) ---
     r = gamma - mv(lam0)
     rt = apply_pinv(r)
@@ -126,10 +138,12 @@ def _scalar_spec():
 
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond",
-                                    "stop_on_nonfinite", "interpret"))
+                                    "stop_on_nonfinite", "method",
+                                    "interpret"))
 def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
                          exit_tol, max_iter: int, precond: str = None,
                          stop_on_nonfinite: bool = False,
+                         method: str = "classic",
                          interpret: bool = False):
     """Run the fused solve on lane-major inputs.
 
@@ -157,7 +171,7 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
     tol = jnp.asarray([exit_tol], dtype=dtype)
 
     kernel = functools.partial(_pcg_kernel, n=n, K=K, max_iter=max_iter,
-                               precond=precond,
+                               precond=precond, method=method,
                                stop_on_nonfinite=stop_on_nonfinite)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     lam, iters, conv, eta = pl.pallas_call(
@@ -178,7 +192,7 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
 def _pcg_batched_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                         lam_ref, iters_ref, conv_ref, eta_ref,
                         *, n, K, max_iter, precond,
-                        stop_on_nonfinite=False):
+                        stop_on_nonfinite=False, method="classic"):
     """Grid-over-batch variant: one grid step = one full solve. Pallas grid
     steps run sequentially on a core, mirroring how independent MPC systems
     would queue on the reference's single GPU — but with S/Pinv block DMA
@@ -191,16 +205,19 @@ def _pcg_batched_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                 S_ref.at[0], pinv_ref.at[0], gamma_ref.at[0], lam0_ref.at[0],
                 lam_ref.at[0], iters_ref, conv_ref, eta_ref,
                 n=n, K=K, max_iter=max_iter, precond=precond,
-                stop_on_nonfinite=stop_on_nonfinite, out_idx=b)
+                stop_on_nonfinite=stop_on_nonfinite, method=method,
+                out_idx=b)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond",
-                                    "stop_on_nonfinite", "interpret"))
+                                    "stop_on_nonfinite", "method",
+                                    "interpret"))
 def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
                                  exit_tol, max_iter: int,
                                  precond: str = None,
                                  stop_on_nonfinite: bool = False,
+                                 method: str = "classic",
                                  interpret: bool = False):
     """Batched fused solve: leading batch axis B on all operands.
 
@@ -219,7 +236,8 @@ def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
     tol = jnp.asarray([exit_tol], dtype=dtype)
     kernel = functools.partial(_pcg_batched_kernel, n=n, K=K,
                                max_iter=max_iter, precond=precond,
-                               stop_on_nonfinite=stop_on_nonfinite)
+                               stop_on_nonfinite=stop_on_nonfinite,
+                               method=method)
 
     def block(shape):
         return pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),

@@ -93,6 +93,13 @@ def pcg_solve(S, gamma, lam0=None, *,
 
     if backend == "jnp":
         pblocks = S.blocks if identity else Pinv.blocks
+        if config.method == "pipelined":
+            from tpcg.solver.pipelined import pcg_pipelined_jnp
+            return pcg_pipelined_jnp(
+                S.blocks, pblocks, gamma, lam0,
+                exit_tol=config.exit_tol, max_iter=config.max_iter,
+                identity_pinv=identity,
+                stop_on_nonfinite=config.stop_on_nonfinite)
         return jnp_backend.pcg_jnp(
             S.blocks, pblocks, gamma, lam0,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
@@ -105,7 +112,8 @@ def pcg_solve(S, gamma, lam0=None, *,
             S.blocks, pinv_blocks, gamma, lam0,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
             precond=config.preconditioner if in_kernel else None,
-            stop_on_nonfinite=config.stop_on_nonfinite)
+            stop_on_nonfinite=config.stop_on_nonfinite,
+            method=config.method)
 
 
 def pcg_solve_batched(S, gamma, lam0=None, *,

@@ -18,10 +18,11 @@ from tpcg.types import PCGResult
 
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond",
-                                    "stop_on_nonfinite", "interpret"))
+                                    "stop_on_nonfinite", "method",
+                                    "interpret"))
 def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                max_iter: int, precond: str = None,
-               stop_on_nonfinite: bool = False,
+               stop_on_nonfinite: bool = False, method: str = "classic",
                interpret: bool = False) -> PCGResult:
     """Single-system fused solve; canonical layout in/out.
 
@@ -40,7 +41,7 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     lam0_lm = vec_to_lane_major(lam0)
     lam_lm, iters, conv, eta = fused_pcg_lane_major(
         S_lm, Pinv_lm, gamma_lm, lam0_lm, exit_tol=exit_tol,
-        max_iter=max_iter, precond=precond,
+        max_iter=max_iter, precond=precond, method=method,
         stop_on_nonfinite=stop_on_nonfinite, interpret=interpret)
     return PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
                      converged=conv, eta=eta)

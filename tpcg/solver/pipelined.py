@@ -1,0 +1,130 @@
+"""Pipelined PCG (Ghysels & Vanroose) — an opt-in alternative method.
+
+Standard PCG has TWO dependent scalar reductions per iteration
+(alpha's denominator, then eta_new — the reference pays two
+grid.sync+glass::reduce rounds for them, pcg.cuh:163-169,187-193; the fused
+TPU kernel pays two vector->scalar->broadcast chains; the sharded solver
+pays two psums over ICI). The pipelined reformulation computes both dots at
+ONE point per iteration from the same pair of vectors, at the cost of three
+extra vector recurrences:
+
+    r0 = gamma - S x0 ; u0 = Pinv r0 ; w0 = S u0
+    iterate:
+      eta_k   = (r_k, u_k)          # same quantity as the reference's eta
+      delta_k = (w_k, u_k)          # both dots together -> one sync point
+      m = Pinv w_k ; nn = S m       # apply ops independent of the dots
+      beta  = 0            (k = 0)  |  eta_k / eta_{k-1}        (k > 0)
+      alpha = eta_k/delta_k (k = 0) |  eta_k / (delta_k - beta eta_k /
+                                                alpha_{k-1})
+      z <- nn + beta z ; q <- m + beta q ; s <- w + beta s ; p <- u + beta p
+      x += alpha p ; r -= alpha s ; u -= alpha q ; w -= alpha z
+
+Exit test: ``|eta_k| < exit_tol`` on the SAME preconditioned residual inner
+product as the reference — but evaluated at the TOP of the iteration, so
+iteration counts are not comparable 1:1 with the classic method (typically
+reports one more, and fp drift of the recurrences can add occasional
+iterations). This is a different METHOD, offered for latency, not a
+reimplementation of the reference loop; the classic method remains the
+default and the parity target.
+
+Reference: Ghysels & Vanroose, "Hiding global synchronization latency in
+the preconditioned Conjugate Gradient algorithm" (Parallel Computing 40,
+2014); also surveyed in PAPERS.md ("Pipelined Conjugate Gradient Method on
+Heterogeneous Architectures").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpcg.ops.bdmv import bdmv
+from tpcg.types import PCGResult
+
+
+class _Carry(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    u: jax.Array
+    w: jax.Array
+    z: jax.Array
+    q: jax.Array
+    s: jax.Array
+    p: jax.Array
+    eta_prev: jax.Array
+    alpha_prev: jax.Array
+    iters: jax.Array
+    converged: jax.Array
+
+
+def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
+                       max_iter: int, stop_on_nonfinite: bool = False):
+    """Method core, parameterized over the operator applications so the jnp
+    backend, the fused Pallas kernel, and the sharded solver all share one
+    implementation. Returns ``(x, iters, converged, eta)``."""
+    r = gamma - mv(lam0)
+    u = apply_pinv(r)
+    w = mv(u)
+    zeros = jnp.zeros_like(r)
+    one = jnp.ones((), gamma.dtype)
+
+    def cond(c: _Carry):
+        go = jnp.logical_and(c.iters < max_iter,
+                             jnp.logical_not(c.converged))
+        if stop_on_nonfinite:
+            go = jnp.logical_and(go, jnp.isfinite(c.eta_prev))
+        return go
+
+    def body(c: _Carry):
+        eta = vdot(c.r, c.u)
+        delta = vdot(c.w, c.u)          # both dots at one sync point
+        m = apply_pinv(c.w)
+        nn = mv(m)
+        first = c.iters == 0
+        beta = jnp.where(first, 0.0, eta / c.eta_prev)
+        alpha = jnp.where(
+            first, eta / delta,
+            eta / (delta - beta * eta / c.alpha_prev))
+        z = nn + beta * c.z
+        q = m + beta * c.q
+        s = c.w + beta * c.s
+        p = c.u + beta * c.p
+        x = c.x + alpha * p
+        r = c.r - alpha * s
+        u = c.u - alpha * q
+        w = c.w - alpha * z
+        # exit on the NEXT eta (computed top of next pass) — test the
+        # current one here so the reported count includes this pass
+        converged = jnp.abs(eta) < exit_tol
+        return _Carry(x, r, u, w, z, q, s, p, eta, alpha,
+                      c.iters + 1, converged)
+
+    # pre-loop tolerance check (same deviation as the classic backends):
+    # an already-converged warm start reports 0 iterations instead of
+    # computing alpha = 0/0
+    eta0 = vdot(r, u)
+    init = _Carry(lam0, r, u, w, zeros, zeros, zeros, zeros,
+                  eta0, one, jnp.zeros((), jnp.int32),
+                  jnp.abs(eta0) < exit_tol)
+    out = jax.lax.while_loop(cond, body, init)
+    return out.x, out.iters, out.converged, out.eta_prev
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
+                                             "stop_on_nonfinite"))
+def pcg_pipelined_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
+                      max_iter: int, identity_pinv: bool = False,
+                      stop_on_nonfinite: bool = False) -> PCGResult:
+    """Pipelined method on the jnp backend (oracle for the fused version)."""
+    exit_tol = jnp.asarray(exit_tol, gamma.dtype)
+    mv = lambda v: bdmv(S_blocks, v)
+    apply_pinv = (lambda v: v) if identity_pinv else (
+        lambda v: bdmv(Pinv_blocks, v))
+    vdot = lambda a, b: jnp.sum(a * b)
+    x, iters, conv, eta = pipelined_pcg_body(
+        mv, apply_pinv, vdot, gamma, lam0, exit_tol, max_iter,
+        stop_on_nonfinite)
+    return PCGResult(lam=x, iters=iters, converged=conv, eta=eta)

@@ -65,6 +65,12 @@ class PCGConfig:
     #: result reports converged=False with the non-finite eta as evidence.
     stop_on_nonfinite: bool = dataclasses.field(default=False,
                                                 metadata=dict(static=True))
+    #: "classic" = the reference's exact loop (the parity target);
+    #: "pipelined" = Ghysels-Vanroose pipelined PCG — one scalar sync point
+    #: per iteration instead of two (tpcg/solver/pipelined.py); a different
+    #: method with its own iteration counts, offered for latency.
+    method: str = dataclasses.field(default="classic",
+                                    metadata=dict(static=True))
 
     def __post_init__(self):
         if self.preconditioner not in PRECONDITIONER_KINDS:
@@ -73,6 +79,9 @@ class PCGConfig:
                 f"got {self.preconditioner!r}")
         if int(self.max_iter) < 1:
             raise ValueError(f"max_iter must be >= 1, got {self.max_iter}")
+        if self.method not in ("classic", "pipelined"):
+            raise ValueError(f"method must be 'classic' or 'pipelined', "
+                             f"got {self.method!r}")
 
 
 class PCGResult(NamedTuple):

@@ -138,3 +138,29 @@ def test_explicit_pinv_matches_built():
     assert int(built.iters) == int(explicit.iters)
     np.testing.assert_allclose(np.asarray(built.lam),
                                np.asarray(explicit.lam), atol=1e-12)
+
+
+def test_iteration_counts_comparable_to_scipy_cg():
+    """SURVEY.md §4: sanity-check iteration counts against
+    scipy.sparse.linalg.cg on the same system with matched absolute
+    tolerance (scipy exits on ||r|| <= atol; ours on r.r < exit_tol, so
+    atol = sqrt(exit_tol))."""
+    import scipy.sparse.linalg as spla
+
+    n, K = 8, 48
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(13), n, K,
+                               dtype=jnp.float64)
+    A = np.asarray(S.dense())
+    b = np.ones(K * n)
+    exit_tol = 1e-10
+
+    counter = {"n": 0}
+    spla.cg(A, b, rtol=0.0, atol=np.sqrt(exit_tol),
+            callback=lambda xk: counter.__setitem__("n", counter["n"] + 1))
+    res = pcg_solve(S, jnp.ones((K, n), jnp.float64),
+                    config=PCGConfig(exit_tol=exit_tol, max_iter=2000),
+                    backend="jnp")
+    assert bool(res.converged)
+    # same Krylov method, same operator: counts must be in the same ballpark
+    assert abs(int(res.iters) - counter["n"]) <= max(3, counter["n"] // 4), (
+        int(res.iters), counter["n"])

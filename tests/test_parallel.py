@@ -143,3 +143,25 @@ def test_batch_sharded_pallas_interpret():
             np.ones(K * n))
         np.testing.assert_allclose(np.asarray(res.lam[b]).reshape(-1),
                                    x_true, rtol=1e-3, atol=1e-4)
+
+
+def test_knot_sharded_pipelined_matches_single():
+    """Pipelined method under shard_map (one psum per iteration) must match
+    the single-device pipelined oracle."""
+    from tpcg.solver.pipelined import pcg_pipelined_jnp
+
+    n, K = 5, 32
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(21), n, K,
+                               dtype=jnp.float64)
+    gamma = jnp.ones((K, n), jnp.float64)
+    cfg = PCGConfig(exit_tol=1e-12, max_iter=300,
+                    preconditioner="block_jacobi", method="pipelined")
+    mesh = _mesh(4, "knot")
+    res_sh = pcg_solve_sharded(S, gamma, mesh=mesh, config=cfg)
+    pb = precond.build(S, "block_jacobi").blocks
+    res_1 = pcg_pipelined_jnp(S.blocks, pb, gamma, jnp.zeros_like(gamma),
+                              exit_tol=1e-12, max_iter=300)
+    assert bool(res_sh.converged)
+    assert int(res_sh.iters) == int(res_1.iters)
+    np.testing.assert_allclose(np.asarray(res_sh.lam), np.asarray(res_1.lam),
+                               rtol=1e-9, atol=1e-10)

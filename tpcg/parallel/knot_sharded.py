@@ -68,15 +68,23 @@ class _Carry(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis_name", "max_iter",
-                                    "identity_pinv"))
+                                    "identity_pinv", "method"))
 def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
                      axis_name: str = "knot", exit_tol, max_iter: int,
-                     identity_pinv: bool = False) -> PCGResult:
+                     identity_pinv: bool = False,
+                     method: str = "classic") -> PCGResult:
     """Full PCG with the knot axis sharded over ``mesh[axis_name]``.
 
     Inputs are global-shape canonical arrays (``(K, 3, n, n)`` / ``(K, n)``);
     K must be divisible by the mesh axis size. Semantics (update order, exit
     test, iteration count) identical to the single-core backends.
+
+    ``method="pipelined"`` (Ghysels-Vanroose, tpcg/solver/pipelined.py) is
+    most valuable HERE: the classic loop pays two ``psum`` latencies per
+    iteration over ICI (the TPU analog of the reference's two
+    grid.sync+reduce rounds, pcg.cuh:163-169,187-193); the pipelined loop
+    pays one, and XLA can overlap it with the independent
+    preconditioner/SpMV applications.
     """
     nd = mesh.shape[axis_name]
     K = gamma.shape[-2]
@@ -93,6 +101,12 @@ def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
         tol = jnp.asarray(exit_tol, g_loc.dtype)
         apply_pinv = ((lambda v: v) if identity_pinv
                       else (lambda v: mv(P_loc, v)))
+
+        if method == "pipelined":
+            from tpcg.solver.pipelined import pipelined_pcg_body
+            return pipelined_pcg_body(
+                lambda v: mv(S_loc, v), apply_pinv, vdot, g_loc, l_loc,
+                tol, max_iter)
 
         r = g_loc - mv(S_loc, l_loc)
         rt = apply_pinv(r)
@@ -270,4 +284,4 @@ def pcg_solve_sharded(S, gamma, lam0=None, *, mesh: Mesh,
     return pcg_knot_sharded(S_blocks, pinv_blocks, gamma, lam0, mesh=mesh,
                             axis_name=axis_name, exit_tol=config.exit_tol,
                             max_iter=config.max_iter,
-                            identity_pinv=identity)
+                            identity_pinv=identity, method=config.method)

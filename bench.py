@@ -120,6 +120,19 @@ def main():
             rows.append(("iiwa14 K=128 in-kernel build+solve", t_ink * 1e6,
                          int(r_ink.iters), bool(r_ink.converged),
                          float("nan")))
+
+            # pipelined method (one scalar sync point per iteration)
+            def fused_pipe(S_, P_, g_, l_):
+                return pallas_backend.pcg_pallas(
+                    S_, None, g_, l_, exit_tol=1e-6, max_iter=100,
+                    precond="symmetric_stair", method="pipelined",
+                    interpret=interp)
+            r_pipe = fused_pipe(S.blocks, None, g, jnp.zeros_like(g))
+            t_pipe = device_solve_time(fused_pipe, S.blocks, S.blocks, g,
+                                       jnp.zeros_like(g))
+            rows.append(("iiwa14 K=128 pipelined build+solve", t_pipe * 1e6,
+                         int(r_pipe.iters), bool(r_pipe.converged),
+                         float("nan")))
             # single-call host-side latency (includes dispatch transport)
             one = fused_fn(1e-6, 100)
             disp = wall_time(one, S.blocks,

@@ -61,10 +61,19 @@ class _Carry(NamedTuple):
 
 
 def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
-                       max_iter: int, stop_on_nonfinite: bool = False):
+                       max_iter: int, stop_on_nonfinite: bool = False,
+                       replace_every: int = 16):
     """Method core, parameterized over the operator applications so the jnp
     backend, the fused Pallas kernel, and the sharded solver all share one
-    implementation. Returns ``(x, iters, converged, eta)``."""
+    implementation. Returns ``(x, iters, converged, eta)``.
+
+    ``replace_every``: pipelined CG's recurrences drift in fp32 (observed on
+    hardware: an iiwa-scale K=512 system stagnated above a 1e-6 tolerance
+    the classic method reached in 36 iterations). Every ``replace_every``
+    iterations the auxiliary vectors are recomputed from their definitions
+    (r = gamma - S x, u = Pinv r, w = S u, s = S p, q = Pinv s, z = S q) —
+    the residual-replacement strategy from the pipelined-CG literature. Set
+    ``replace_every=0`` to disable."""
     r = gamma - mv(lam0)
     u = apply_pinv(r)
     w = mv(u)
@@ -96,6 +105,22 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
         r = c.r - alpha * s
         u = c.u - alpha * q
         w = c.w - alpha * z
+        if replace_every:
+            def replace(args):
+                x, p, *_ = args
+                r = gamma - mv(x)
+                u = apply_pinv(r)
+                w = mv(u)
+                s = mv(p)
+                q = apply_pinv(s)
+                z = mv(q)
+                return (x, p, r, u, w, s, q, z)
+
+            do_replace = jnp.logical_and(c.iters % replace_every ==
+                                         replace_every - 1, c.iters > 0)
+            x, p, r, u, w, s, q, z = jax.lax.cond(
+                do_replace, replace, lambda args: args,
+                (x, p, r, u, w, s, q, z))
         # exit on the NEXT eta (computed top of next pass) — test the
         # current one here so the reported count includes this pass
         converged = jnp.abs(eta) < exit_tol

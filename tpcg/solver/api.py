@@ -150,10 +150,16 @@ def pcg_solve_batched(S, gamma, lam0=None, *,
             S.blocks, pinv_blocks, gamma, lam0,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
             precond=config.preconditioner if in_kernel else None,
-            stop_on_nonfinite=config.stop_on_nonfinite)
+            stop_on_nonfinite=config.stop_on_nonfinite,
+            method=config.method)
 
     pblocks = S.blocks if identity else Pinv.blocks
-    solve1 = lambda s, p, g, l: jnp_backend.pcg_jnp(
+    if config.method == "pipelined":
+        from tpcg.solver.pipelined import pcg_pipelined_jnp
+        base = pcg_pipelined_jnp
+    else:
+        base = jnp_backend.pcg_jnp
+    solve1 = lambda s, p, g, l: base(
         s, p, g, l, exit_tol=config.exit_tol, max_iter=config.max_iter,
         identity_pinv=identity,
         stop_on_nonfinite=config.stop_on_nonfinite)

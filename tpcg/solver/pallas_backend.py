@@ -53,6 +53,7 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
 def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                        max_iter: int, precond: str = None,
                        stop_on_nonfinite: bool = False,
+                       method: str = "classic",
                        interpret: bool = False) -> PCGResult:
     """Batched fused solve: ``S_blocks (B, K, 3, n, n)``, vectors
     ``(B, K, n)``. VMEM holds one system per grid step."""
@@ -66,7 +67,7 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     lam0_lm = jnp.swapaxes(lam0, -1, -2)
     lam_lm, iters, conv, eta = fused_pcg_lane_major_batched(
         S_lm, Pinv_lm, gamma_lm, lam0_lm, exit_tol=exit_tol,
-        max_iter=max_iter, precond=precond,
+        max_iter=max_iter, precond=precond, method=method,
         stop_on_nonfinite=stop_on_nonfinite, interpret=interpret)
     return PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
                      converged=conv, eta=eta)

@@ -133,6 +133,7 @@ def main():
             rows.append(("iiwa14 K=128 pipelined build+solve", t_pipe * 1e6,
                          int(r_pipe.iters), bool(r_pipe.converged),
                          float("nan")))
+            headline_best = min(t_f, t_ink, t_pipe)
             # single-call host-side latency (includes dispatch transport)
             one = fused_fn(1e-6, 100)
             disp = wall_time(one, S.blocks,
@@ -164,11 +165,13 @@ def main():
         err(f"{name:48s} {tf:10.1f} {it:6d} {str(cv):>5s} {tx:10.1f}")
 
     print(json.dumps({
-        "metric": "iiwa14 per-solve device time (n=14, K=128, fp32, "
-                  "symmetric-stair, tol=1e-6, fused Pallas kernel)",
-        "value": round(headline_fused * 1e6, 2),
+        "metric": "iiwa14 per-solve device time to 1e-6 (n=14, K=128, fp32, "
+                  "symmetric-stair incl. in-kernel construction; best of "
+                  "classic/pipelined fused Pallas kernels; baseline = "
+                  "pure-XLA while_loop PCG on the same chip)",
+        "value": round(headline_best * 1e6, 2),
         "unit": "us",
-        "vs_baseline": round(headline_xla / headline_fused, 3),
+        "vs_baseline": round(headline_xla / headline_best, 3),
     }))
 
 

@@ -49,7 +49,8 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
 
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond",
-                                    "stop_on_nonfinite", "interpret"))
+                                    "stop_on_nonfinite", "method",
+                                    "interpret"))
 def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                        max_iter: int, precond: str = None,
                        stop_on_nonfinite: bool = False,

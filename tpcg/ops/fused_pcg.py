@@ -73,8 +73,12 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         Dinv_t = gj_inverse_lane_major(S[1], n, K)
         apply_pinv = lambda v: blockdiag_mv_lane_major(Dinv_t, v, n, K)
     elif precond == "symmetric_stair":
-        Pinv = build_pinv_lane_major(S, "symmetric_stair", n, K)
-        apply_pinv = lambda v: bdmv_lane_major(Pinv, v, n=n, K=K)
+        # factored apply: only Dinv lives in VMEM; no setup matmuls
+        from tpcg.ops.smallinv import (apply_symmetric_stair_factored,
+                                       gj_inverse_lane_major)
+        Dinv_t = gj_inverse_lane_major(S[1], n, K)
+        apply_pinv = lambda v: apply_symmetric_stair_factored(
+            S, Dinv_t, v, n, K)
     else:
         raise ValueError(f"bad precond {precond!r}")
 

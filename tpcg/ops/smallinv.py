@@ -85,6 +85,27 @@ def shift_mats_up(D, n: int, K: int):
     return jnp.where(k_ids == K - 1, 0.0, rolled)
 
 
+def apply_symmetric_stair_factored(S_lm, Dinv_t, v, n: int, K: int):
+    """Apply the symmetric-stair Phi^-1 WITHOUT materializing its blocks:
+
+      (Phi^-1 v)_k = Dinv_k [ v_k - L_k (Dinv v)_{k-1} - R_k (Dinv v)_{k+1} ]
+
+    Cost: 2 block-diagonal matvecs + the two off-diagonal matvec terms
+    (~4n FMA pages vs 3n for the materialized form), but needs only
+    ``Dinv_t (n, n, K)`` in VMEM instead of the full 3-block Phi^-1 and
+    skips the 4 setup matmuls entirely."""
+    from tpcg.ops.bdmv import _lane_shift_down, _lane_shift_up
+
+    w = blockdiag_mv_lane_major(Dinv_t, v, n, K)      # (Dinv v)
+    w_dn = _lane_shift_down(w, n, K)
+    w_up = _lane_shift_up(w, n, K)
+    # off-diagonal terms: L_k w_{k-1} and R_k w_{k+1}; stored-transpose
+    # pages S_lm[0]=L^T, S_lm[2]=R^T -> y[r,k] = sum_c S_lm[d][c,r,k] w[c,k]
+    t = v - (jnp.sum(S_lm[0] * w_dn[:, None, :], axis=0) +
+             jnp.sum(S_lm[2] * w_up[:, None, :], axis=0))
+    return blockdiag_mv_lane_major(Dinv_t, t, n, K)
+
+
 def build_pinv_lane_major(S_lm, kind: str, n: int, K: int):
     """Construct Phi^-1 in lane-major cbtd form ``(3, n_col, n_row, K)``
     from ``S_lm`` of the same layout, entirely with VPU ops.

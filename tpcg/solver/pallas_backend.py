@@ -33,7 +33,7 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     """
     from tpcg.utils.feasibility import check_fused_fits
     check_fused_fits(S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
-                     identity_pinv=Pinv_blocks is None)
+                     identity_pinv=Pinv_blocks is None, precond=precond)
     S_lm = to_lane_major(S_blocks)
     Pinv_lm = None if Pinv_blocks is None else to_lane_major(
         Pinv_blocks)
@@ -60,7 +60,7 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     ``(B, K, n)``. VMEM holds one system per grid step."""
     from tpcg.utils.feasibility import check_fused_fits
     check_fused_fits(S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
-                     identity_pinv=Pinv_blocks is None)
+                     identity_pinv=Pinv_blocks is None, precond=precond)
     to_lm = jax.vmap(to_lane_major)
     S_lm = to_lm(S_blocks)
     Pinv_lm = None if Pinv_blocks is None else to_lm(Pinv_blocks)

@@ -24,33 +24,44 @@ VMEM_HEADROOM = 15 / 16
 
 
 def fused_vmem_bytes(state_size: int, knot_points: int, dtype=jnp.float32,
-                     identity_pinv: bool = False) -> int:
-    """Estimated VMEM working set of the fused kernel: S (+ Pinv) in
-    lane-major layout, ~10 (n, K) vector pages (gamma, lam0 inputs + lam
-    output + r/p/r_tilde/upsilon/shift temporaries in the while carry), with
-    the state axis padded to the f32 sublane tile (8) and lanes to 128.
+                     identity_pinv: bool = False,
+                     precond: str = None) -> int:
+    """Estimated VMEM working set of the fused kernel: matrices in
+    lane-major layout plus ~10 (n, K) vector pages (gamma/lam0 inputs, lam
+    output, r/p/r_tilde/upsilon/shift temporaries in the while carry), state
+    axis padded to the f32 sublane tile (8), lanes to 128.
 
-    The matrix term carries a 1.6x factor calibrated against Mosaic's actual
-    scoped-vmem accounting (at n=14, K=2048 with explicit Pinv, Mosaic
-    reports 17.25 MiB where the raw operands are 11 MiB — value copies,
-    in-kernel preconditioner-build temporaries, and pipeline buffering make
-    up the rest; measured K=1024 runs at ~8.6 MiB against a 5.5 MiB raw
-    operand size)."""
+    Matrix-term factors are calibrated against Mosaic's actual scoped-vmem
+    accounting on hardware (n=14):
+      * explicit Pinv:     1.6 x (S + Pinv)   (K=2048 observed 17.25 MiB on
+                           11 MiB of raw operands; K=1024 runs at 8.6 MiB)
+      * in-kernel build:   3.3 x S            (K=2048 observed 19.05 MiB on
+                           5.5 MiB raw S — Gauss-Jordan temporaries + value
+                           copies)
+      * identity:          2.2 x S
+    """
     n, K = state_size, knot_points
     itemsize = jnp.dtype(dtype).itemsize
     n_pad = -(-n // 8) * 8
     K_pad = -(-K // 128) * 128
-    mats = 1 if identity_pinv else 2
-    mat_bytes = mats * 3 * n * n_pad * K_pad * itemsize
+    S_bytes = 3 * n * n_pad * K_pad * itemsize
+    if precond in ("block_jacobi", "symmetric_stair"):
+        mat_bytes = 3.3 * S_bytes
+    elif identity_pinv or precond == "identity":
+        mat_bytes = 2.2 * S_bytes
+    else:
+        mat_bytes = 1.6 * 2 * S_bytes
     vec_bytes = 10 * n_pad * K_pad * itemsize
-    return int(1.6 * mat_bytes) + vec_bytes
+    return int(mat_bytes) + vec_bytes
 
 
 def check_fused_fits(state_size: int, knot_points: int, dtype=jnp.float32,
-                     identity_pinv: bool = False) -> None:
+                     identity_pinv: bool = False,
+                     precond: str = None) -> None:
     """Raise ValueError (with the max feasible knot_points) if the fused
     kernel's working set exceeds VMEM."""
-    need = fused_vmem_bytes(state_size, knot_points, dtype, identity_pinv)
+    need = fused_vmem_bytes(state_size, knot_points, dtype, identity_pinv,
+                            precond)
     budget = int(VMEM_BYTES * VMEM_HEADROOM)
     if need > budget:
         # binary-search the max K that fits
@@ -58,7 +69,7 @@ def check_fused_fits(state_size: int, knot_points: int, dtype=jnp.float32,
         while lo < hi:
             mid = (lo + hi + 1) // 2
             if fused_vmem_bytes(state_size, mid, dtype,
-                                identity_pinv) <= budget:
+                                identity_pinv, precond) <= budget:
                 lo = mid
             else:
                 hi = mid - 1

@@ -16,5 +16,6 @@ bench:
 
 clean:
 	$(MAKE) -C csrc clean
-	rm -rf .jax_cache .pytest_cache
+	rm -rf .pytest_cache
 	find . -name __pycache__ -type d -exec rm -rf {} +
+	# .jax_cache is tracked (warm bench) — not removed here

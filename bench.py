@@ -53,7 +53,7 @@ def main():
     from tpcg.solver import jnp_backend, pallas_backend
     from tpcg.utils.timing import device_solve_time, wall_time
 
-    on_tpu = jax.default_backend() != "cpu"
+    on_tpu = jax.default_backend() == "tpu"
     interp = not on_tpu
     err = lambda *a: print(*a, file=sys.stderr, flush=True)
     err(f"# tpcg bench on {jax.devices()[0]} (pallas interpret={interp})")

@@ -165,3 +165,43 @@ def test_knot_sharded_pipelined_matches_single():
     assert int(res_sh.iters) == int(res_1.iters)
     np.testing.assert_allclose(np.asarray(res_sh.lam), np.asarray(res_1.lam),
                                rtol=1e-9, atol=1e-10)
+
+
+def test_fleet_with_already_converged_system(rng):
+    """A fleet member converged at entry (zero rhs, zero warm start) must
+    come back with lam=0 / iters=0 — NOT NaN from a masked 0*(0/0) update
+    (regression for the jnp.where fix in pcg_knot_sharded_batched)."""
+    from tpcg.parallel.knot_sharded import pcg_knot_sharded_batched
+    from jax.sharding import NamedSharding
+
+    B, n, K = 2, 3, 8
+    keys = jax.random.split(jax.random.PRNGKey(30), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K,
+                                               dtype=jnp.float64).blocks
+                        for k in keys])
+    gamma = jnp.zeros((B, K, n), jnp.float64).at[1].set(1.0)
+    lam0 = jnp.zeros_like(gamma)
+    pb = precond.build(BlockTridiag(blocks), "block_jacobi").blocks
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("batch", "knot"))
+    shard = NamedSharding(mesh, P("batch", "knot"))
+    args = [jax.device_put(x, shard) for x in (blocks, pb, gamma, lam0)]
+    res = pcg_knot_sharded_batched(*args, mesh=mesh, exit_tol=1e-12,
+                                   max_iter=100)
+    assert np.all(np.isfinite(np.asarray(res.lam)))
+    assert np.all(np.asarray(res.lam[0]) == 0)
+    assert int(res.iters[0]) == 0
+    assert bool(res.converged[0]) and bool(res.converged[1])
+
+
+def test_sharded_stop_on_nonfinite():
+    """Config's divergence guard must work through the sharded path."""
+    n, K = 3, 8
+    blocks = jnp.zeros((K, 3, n, n), jnp.float64)  # singular S
+    gamma = jnp.ones((K, n), jnp.float64)
+    cfg = PCGConfig(exit_tol=1e-30, max_iter=5000, stop_on_nonfinite=True)
+    mesh = _mesh(2, "knot")
+    res = pcg_solve_sharded(BlockTridiag(blocks), gamma, mesh=mesh,
+                            config=cfg)
+    assert not bool(res.converged)
+    assert int(res.iters) < 5000

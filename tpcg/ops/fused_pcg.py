@@ -55,8 +55,7 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
 
     Scalar diagnostics are stored at ``out_idx`` in their SMEM refs (0 for
     the single-system kernel; ``program_id`` for the grid-batched one)."""
-    from tpcg.ops.smallinv import (blockdiag_mv_lane_major,
-                                   build_pinv_lane_major)
+    from tpcg.ops.smallinv import blockdiag_mv_lane_major
 
     S = S_ref[:, :, :, :]
     gamma = gamma_ref[:, :]

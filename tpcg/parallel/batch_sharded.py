@@ -55,10 +55,18 @@ def pcg_solve_batch_sharded(S, gamma, lam0=None, *, mesh: Mesh,
             return pallas_backend.pcg_pallas_batched(
                 s_loc, None if identity else p_loc, g_loc, l_loc,
                 exit_tol=config.exit_tol, max_iter=config.max_iter,
+                method=config.method,
+                stop_on_nonfinite=config.stop_on_nonfinite,
                 interpret=interpret)
+        if config.method == "pipelined":
+            from tpcg.solver.pipelined import pcg_pipelined_jnp
+            base = pcg_pipelined_jnp
+        else:
+            base = jnp_backend.pcg_jnp
         solve1 = functools.partial(
-            jnp_backend.pcg_jnp, exit_tol=config.exit_tol,
-            max_iter=config.max_iter, identity_pinv=identity)
+            base, exit_tol=config.exit_tol,
+            max_iter=config.max_iter, identity_pinv=identity,
+            stop_on_nonfinite=config.stop_on_nonfinite)
         return jax.vmap(solve1)(s_loc, p_loc, g_loc, l_loc)
 
     shard = P(axis_name)

@@ -68,11 +68,13 @@ class _Carry(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis_name", "max_iter",
-                                    "identity_pinv", "method"))
+                                    "identity_pinv", "method",
+                                    "stop_on_nonfinite"))
 def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
                      axis_name: str = "knot", exit_tol, max_iter: int,
                      identity_pinv: bool = False,
-                     method: str = "classic") -> PCGResult:
+                     method: str = "classic",
+                     stop_on_nonfinite: bool = False) -> PCGResult:
     """Full PCG with the knot axis sharded over ``mesh[axis_name]``.
 
     Inputs are global-shape canonical arrays (``(K, 3, n, n)`` / ``(K, n)``);
@@ -106,7 +108,7 @@ def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
             from tpcg.solver.pipelined import pipelined_pcg_body
             return pipelined_pcg_body(
                 lambda v: mv(S_loc, v), apply_pinv, vdot, g_loc, l_loc,
-                tol, max_iter)
+                tol, max_iter, stop_on_nonfinite)
 
         r = g_loc - mv(S_loc, l_loc)
         rt = apply_pinv(r)
@@ -114,8 +116,11 @@ def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
         eta = vdot(r, rt)
 
         def cond(c):
-            return jnp.logical_and(c.iters < max_iter,
-                                   jnp.logical_not(c.converged))
+            go = jnp.logical_and(c.iters < max_iter,
+                                 jnp.logical_not(c.converged))
+            if stop_on_nonfinite:
+                go = jnp.logical_and(go, jnp.isfinite(c.eta))
+            return go
 
         def body(c):
             ups = mv(S_loc, c.p)
@@ -221,18 +226,20 @@ def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
         def body(c):
             lam, r, p, eta, iters, converged, step, _ = c
             active = jnp.logical_not(converged)          # (B_loc,)
-            am = active[:, None, None].astype(g_loc.dtype)
+            am = active[:, None, None]
             ups = mv(S_loc, p)
             alpha = eta / vdot(p, ups)
-            lam = lam + am * alpha[:, None, None] * p
-            r = r - am * alpha[:, None, None] * ups
+            # jnp.where, NOT a 0/1 mask multiply: a system converged at
+            # entry has alpha = 0/0 = NaN, and 0 * NaN = NaN would poison
+            # its (final) multipliers
+            lam = jnp.where(am, lam + alpha[:, None, None] * p, lam)
+            r = jnp.where(am, r - alpha[:, None, None] * ups, r)
             rt = apply_pinv(r)
             eta_new = jnp.where(active, vdot(r, rt), eta)
             conv_new = jnp.abs(eta_new) < tol
             beta = eta_new / eta
             # freeze p (and eta via eta_new above) for converged systems
-            p = jnp.where(active[:, None, None],
-                          rt + beta[:, None, None] * p, p)
+            p = jnp.where(am, rt + beta[:, None, None] * p, p)
             iters = iters + active.astype(jnp.int32)
             converged = jnp.logical_or(converged, conv_new)
             return (lam, r, p, eta_new, iters, converged, step + 1,
@@ -284,4 +291,5 @@ def pcg_solve_sharded(S, gamma, lam0=None, *, mesh: Mesh,
     return pcg_knot_sharded(S_blocks, pinv_blocks, gamma, lam0, mesh=mesh,
                             axis_name=axis_name, exit_tol=config.exit_tol,
                             max_iter=config.max_iter,
-                            identity_pinv=identity, method=config.method)
+                            identity_pinv=identity, method=config.method,
+                            stop_on_nonfinite=config.stop_on_nonfinite)

@@ -46,9 +46,9 @@ def _pick_backend(backend: str, dtype) -> str:
         raise ValueError(f"backend must be one of {BACKENDS}, got {backend!r}")
     if backend != "auto":
         return backend
-    # The fused Pallas path is f32-native; f64 (XLA-emulated on TPU) and
-    # non-TPU platforms use the jnp backend.
-    on_tpu = jax.default_backend() not in ("cpu",)
+    # The fused Pallas path is f32-native and TPU-only; f64 (XLA-emulated
+    # on TPU) and non-TPU platforms use the jnp backend.
+    on_tpu = jax.default_backend() == "tpu"
     if on_tpu and dtype == jnp.float32:
         return "pallas"
     return "jnp"

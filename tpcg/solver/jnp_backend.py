@@ -28,13 +28,13 @@ f64).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from tpcg.ops.bdmv import bdmv
-from tpcg.types import BlockTridiag, PCGConfig, PCGResult
+from tpcg.types import BlockTridiag, PCGResult
 
 
 class _Carry(NamedTuple):
@@ -111,19 +111,3 @@ def pcg_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     out = jax.lax.while_loop(cond, body, init)
     return PCGResult(lam=out.lam, iters=out.iters, converged=out.converged,
                      eta=out.eta)
-
-
-def solve(S: BlockTridiag, gamma, lam0, config: PCGConfig,
-          Pinv: Optional[BlockTridiag] = None) -> PCGResult:
-    """Convenience wrapper: builds/validates the preconditioner then solves."""
-    from tpcg import precond
-
-    identity = config.preconditioner == "identity" and Pinv is None
-    if not identity:
-        Pinv = precond.materialize(S, config, Pinv)
-        pblocks = Pinv.blocks
-    else:
-        pblocks = S.blocks  # unused placeholder (identity fast path)
-    return pcg_jnp(S.blocks, pblocks, gamma, lam0,
-                   exit_tol=config.exit_tol, max_iter=config.max_iter,
-                   identity_pinv=identity)

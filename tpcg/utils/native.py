@@ -93,6 +93,9 @@ def _csr_to_cbtd_numpy(row_ptr, col_ind, val, n: int, K: int) -> np.ndarray:
     out = np.zeros((K, 3, n, n), dtype=np.float64)
     rows = np.repeat(np.arange(K * n), np.diff(row_ptr))
     cols = col_ind
+    if cols.size and (cols.min() < 0 or cols.max() >= K * n):
+        raise ValueError("CSR column index out of range "
+                         "(native converter error code 2)")
     brow, r = rows // n, rows % n
     bcol, c = cols // n, cols % n
     d = bcol - brow + 1  # 0=left, 1=diag, 2=right

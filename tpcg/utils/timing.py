@@ -28,9 +28,11 @@ def wall_time(fn: Callable, *args, warmup: int = 3, reps: int = 20,
     """Seconds per call of ``fn(*args, **kwargs)``, synchronized with
     ``block_until_ready``. Returns best-of (min) by default — the right
     estimator under one-sided dispatch noise."""
+    r = None
     for _ in range(warmup):
         r = fn(*args, **kwargs)
-    jax.block_until_ready(r)
+    if r is not None:
+        jax.block_until_ready(r)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()

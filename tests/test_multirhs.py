@@ -1,0 +1,50 @@
+"""Multi-RHS fused solve: per-rhs results must match independent solves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpcg import layout, precond
+from tpcg.ops.multirhs import pcg_pallas_multirhs
+from tpcg.solver import jnp_backend
+
+
+@pytest.mark.parametrize("pre", ["identity", "block_jacobi",
+                                 "symmetric_stair"])
+def test_multirhs_matches_independent(pre, rng):
+    R, n, K = 4, 5, 16
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(40), n, K,
+                               dtype=jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal((R, K, n)), jnp.float32)
+    lam0 = jnp.zeros_like(gamma)
+    res = pcg_pallas_multirhs(S.blocks, gamma, lam0, exit_tol=1e-8,
+                              max_iter=200, precond=pre, interpret=True)
+    assert np.all(np.asarray(res.converged))
+    identity = pre == "identity"
+    pb = S.blocks if identity else precond.build(S, pre).blocks
+    for i in range(R):
+        r1 = jnp_backend.pcg_jnp(S.blocks, pb, gamma[i], lam0[i],
+                                 exit_tol=1e-8, max_iter=200,
+                                 identity_pinv=identity)
+        # in-kernel GJ preconditioner vs XLA linalg.inv: iteration counts
+        # within the usual tolerance band
+        assert abs(int(res.iters[i]) - int(r1.iters)) <= 2
+        np.testing.assert_allclose(np.asarray(res.lam[i]),
+                                   np.asarray(r1.lam), rtol=1e-3, atol=1e-4)
+
+
+def test_multirhs_converged_at_entry_is_frozen(rng):
+    """rhs 0 = zeros: must return lam=0, iters=0, no NaN, while rhs 1
+    solves normally."""
+    n, K = 4, 8
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(41), n, K,
+                               dtype=jnp.float32)
+    gamma = jnp.zeros((2, K, n), jnp.float32).at[1].set(1.0)
+    res = pcg_pallas_multirhs(S.blocks, gamma, jnp.zeros_like(gamma),
+                              exit_tol=1e-10, max_iter=100,
+                              precond="block_jacobi", interpret=True)
+    assert np.all(np.isfinite(np.asarray(res.lam)))
+    assert int(res.iters[0]) == 0 and bool(res.converged[0])
+    assert bool(res.converged[1]) and int(res.iters[1]) > 0
+    assert np.all(np.asarray(res.lam[0]) == 0)

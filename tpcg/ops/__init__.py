@@ -2,3 +2,4 @@
 utils.cuh + the GLASS micro-BLAS, rebuilt TPU-first)."""
 
 from tpcg.ops.bdmv import bdmv, bdmv_pallas, shift_down, shift_up
+from tpcg.ops.multirhs import pcg_pallas_multirhs

@@ -1,0 +1,144 @@
+"""Multi-right-hand-side fused PCG: one system matrix, R right-hand sides,
+solved JOINTLY in one kernel.
+
+Neither the reference nor its downstream consumers support this (one vector
+per launch); on TPU it is nearly free: vectors become ``(R, n, K)`` with the
+small R axis unrolled over VPU ops (which are underutilized at ``(n, K)``
+tile sizes anyway), S stays shared in VMEM, and all R solves share each
+iteration's sweep. Per-rhs scalars (alpha/beta/eta) are length-R vectors;
+converged systems are frozen with ``jnp.where`` masks (NOT 0/1 multiplies —
+an rhs converged at entry has alpha = 0/0 = NaN and ``0 * NaN = NaN``), and
+the loop runs until every rhs converges or ``max_iter``.
+
+Use cases: covariance/sensitivity propagation (solve against several
+perturbation directions), multi-target MPC, and block-Krylov
+experimentation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpcg.ops.bdmv import bdmv_lane_major, to_lane_major
+from tpcg.types import PCGResult
+
+
+def _mv_multi(S_lm, X, n, K, R):
+    """bdmv applied to R stacked lane-major vectors ``X (R, n, K)``."""
+    return jnp.stack([bdmv_lane_major(S_lm, X[i], n=n, K=K)
+                      for i in range(R)])
+
+
+def _multirhs_kernel(tol_ref, S_ref, gamma_ref, lam0_ref,
+                     lam_ref, iters_ref, conv_ref, eta_ref,
+                     *, n, K, R, max_iter, precond):
+    from tpcg.ops.smallinv import (apply_symmetric_stair_factored,
+                                   blockdiag_mv_lane_major,
+                                   gj_inverse_lane_major)
+
+    S = S_ref[...]
+    gamma = gamma_ref[...]
+    lam0 = lam0_ref[...]
+    tol = tol_ref[0]
+
+    if precond == "identity":
+        apply1 = lambda v: v
+    elif precond == "block_jacobi":
+        Dinv_t = gj_inverse_lane_major(S[1], n, K)
+        apply1 = lambda v: blockdiag_mv_lane_major(Dinv_t, v, n, K)
+    elif precond == "symmetric_stair":
+        Dinv_t = gj_inverse_lane_major(S[1], n, K)
+        apply1 = lambda v: apply_symmetric_stair_factored(S, Dinv_t, v, n, K)
+    else:
+        raise ValueError(f"bad precond {precond!r}")
+
+    mv = lambda X: _mv_multi(S, X, n, K, R)
+    apply_pinv = lambda X: jnp.stack([apply1(X[i]) for i in range(R)])
+    # per-rhs scalars are kept 2-D (R, 1), and NO rank-1 intermediate is
+    # ever formed: Mosaic CHECK-fails (layout.h: arr.size() >=
+    # layout_rank) on rank-1 vector values
+    vdot = lambda a, b: jnp.sum(jnp.sum(a * b, axis=2), axis=1,
+                                keepdims=True)                 # (R, 1)
+
+    r = gamma - mv(lam0)
+    rt = apply_pinv(r)
+    p = rt
+    eta = vdot(r, rt)
+
+    # converged is carried as int32 (Mosaic can't yield i1 vectors from
+    # scf.while); bool masks are derived as loop-local temporaries
+    def cond(c):
+        lam, r, p, eta, iters, conv32, step = c
+        return jnp.logical_and(step < max_iter, jnp.sum(conv32) < R)
+
+    def body(c):
+        lam, r, p, eta, iters, conv32, step = c
+        active = conv32 == 0                          # (R, 1) bool temp
+        am = active[:, :, None]                       # (R, 1, 1)
+        ups = mv(p)
+        alpha = (eta / vdot(p, ups))[:, :, None]
+        lam = jnp.where(am, lam + alpha * p, lam)
+        r = jnp.where(am, r - alpha * ups, r)
+        rt = apply_pinv(r)
+        eta_new = jnp.where(active, vdot(r, rt), eta)
+        conv_new = (jnp.abs(eta_new) < tol).astype(jnp.int32)
+        beta = (eta_new / eta)[:, :, None]
+        p = jnp.where(am, rt + beta * p, p)
+        iters = iters + active.astype(jnp.int32)
+        return (lam, r, p, eta_new, iters,
+                jnp.maximum(conv32, conv_new), step + 1)
+
+    conv0 = (jnp.abs(eta) < tol).astype(jnp.int32)
+    init = (lam0, r, p, eta, jnp.zeros((R, 1), jnp.int32), conv0,
+            jnp.zeros((), jnp.int32))
+    lam, r, p, eta, iters, conv32, _ = jax.lax.while_loop(cond, body, init)
+    lam_ref[...] = lam
+    for i in range(R):  # SMEM stores must be scalar-at-a-time
+        iters_ref[i] = iters[i, 0]
+        conv_ref[i] = conv32[i, 0]
+        eta_ref[i] = eta[i, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "precond",
+                                             "interpret"))
+def pcg_pallas_multirhs(S_blocks, gamma, lam0, *, exit_tol, max_iter: int,
+                        precond: str = "symmetric_stair",
+                        interpret: bool = False) -> PCGResult:
+    """Solve ``S lam_i = gamma_i`` for R right-hand sides jointly.
+
+    ``S_blocks (K, 3, n, n)``; ``gamma``/``lam0`` ``(R, K, n)``. Returns
+    per-rhs ``PCGResult`` with leading R axis on every field. The
+    preconditioner (identity / block_jacobi / symmetric_stair) is built
+    in-kernel from S."""
+    R, K, n = gamma.shape
+    dtype = S_blocks.dtype
+    from tpcg.utils.feasibility import check_fused_fits
+    check_fused_fits(n, K, dtype, precond=precond)
+
+    S_lm = to_lane_major(S_blocks)
+    g_lm = jnp.swapaxes(gamma, -1, -2)      # (R, n, K)
+    l_lm = jnp.swapaxes(lam0, -1, -2)
+    tol = jnp.asarray([exit_tol], dtype)
+    kernel = functools.partial(_multirhs_kernel, n=n, K=K, R=R,
+                               max_iter=max_iter, precond=precond)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    lam, iters, conv, eta = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((R, n, K), dtype),
+            jax.ShapeDtypeStruct((R,), jnp.int32),
+            jax.ShapeDtypeStruct((R,), jnp.int32),
+            jax.ShapeDtypeStruct((R,), dtype),
+        ),
+        in_specs=[smem, vmem, vmem, vmem],
+        out_specs=(vmem, smem, smem, smem),
+        interpret=interpret,
+    )(tol, S_lm, g_lm, l_lm)
+    return PCGResult(lam=jnp.swapaxes(lam, -1, -2), iters=iters,
+                     converged=conv != 0, eta=eta)

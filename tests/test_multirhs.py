@@ -48,3 +48,32 @@ def test_multirhs_converged_at_entry_is_frozen(rng):
     assert int(res.iters[0]) == 0 and bool(res.converged[0])
     assert bool(res.converged[1]) and int(res.iters[1]) > 0
     assert np.all(np.asarray(res.lam[0]) == 0)
+
+
+def test_api_multirhs_jnp_fallback(rng):
+    """Public pcg_solve_multirhs on the jnp backend (CPU/f64) matches
+    independent solves; also covers the pipelined routing."""
+    import tpcg
+
+    R, n, K = 3, 4, 12
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(42), n, K,
+                               dtype=jnp.float64)
+    gamma = jnp.asarray(rng.standard_normal((R, K, n)))
+    for method in ("classic", "pipelined"):
+        cfg = tpcg.PCGConfig(1e-12, 300, "block_jacobi", method=method)
+        res = tpcg.pcg_solve_multirhs(S, gamma, config=cfg, backend="jnp")
+        assert np.all(np.asarray(res.converged))
+        for i in range(R):
+            x_true = np.linalg.solve(np.asarray(S.dense()),
+                                     np.asarray(gamma[i]).reshape(-1))
+            np.testing.assert_allclose(np.asarray(res.lam[i]).reshape(-1),
+                                       x_true, rtol=1e-4, atol=1e-6)
+
+
+def test_api_multirhs_rejects_bad_shape():
+    import tpcg
+
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(0), 3, 4,
+                               dtype=jnp.float64)
+    with pytest.raises(ValueError, match="R, K, n"):
+        tpcg.pcg_solve_multirhs(S, jnp.ones((4, 3)), backend="jnp")

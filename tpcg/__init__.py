@@ -17,6 +17,7 @@ from tpcg.layout import (from_reference_flat, to_reference_flat,
                          dense_to_cbtd, cbtd_to_dense, from_csr,
                          random_spd_cbtd)
 from tpcg.solver.api import (pcg_solve, pcg_solve_batched,
+                             pcg_solve_multirhs,
                              solve_reference_flat, PCGSolver)
 from tpcg.solver.implicit_diff import pcg_solve_grad
 from tpcg import precond
@@ -28,6 +29,7 @@ __all__ = [
     "DEFAULT_EPSILON", "DEFAULT_MAX_PCG_ITER",
     "from_reference_flat", "to_reference_flat", "dense_to_cbtd",
     "cbtd_to_dense", "from_csr", "random_spd_cbtd",
-    "pcg_solve", "pcg_solve_batched", "solve_reference_flat", "PCGSolver",
+    "pcg_solve", "pcg_solve_batched", "pcg_solve_multirhs",
+    "solve_reference_flat", "PCGSolver",
     "pcg_solve_grad", "precond",
 ]

@@ -166,6 +166,47 @@ def pcg_solve_batched(S, gamma, lam0=None, *,
     return jax.vmap(solve1)(S.blocks, pblocks, gamma, lam0)
 
 
+def pcg_solve_multirhs(S, gamma, lam0=None, *,
+                       config: Optional[PCGConfig] = None,
+                       backend: str = "auto") -> PCGResult:
+    """Solve one system against R right-hand sides jointly (shared S).
+
+    ``gamma``/``lam0``: ``(R, K, n)``. On TPU this runs the multi-RHS fused
+    kernel (tpcg/ops/multirhs.py — all R solves share each iteration's
+    sweep); elsewhere it vmaps the jnp backend over the rhs axis. Returns
+    per-rhs results with a leading R axis."""
+    S = _as_bt(S)
+    gamma = jnp.asarray(gamma)
+    lam0 = jnp.zeros_like(gamma) if lam0 is None else jnp.asarray(lam0)
+    config = config or PCGConfig()
+    if gamma.ndim != 3:
+        raise ValueError(f"multi-rhs gamma must be (R, K, n), got "
+                         f"{gamma.shape}")
+
+    backend = _pick_backend(backend, S.dtype)
+    if (backend == "pallas" and config.method == "classic"
+            and config.preconditioner != "explicit"):
+        from tpcg.ops.multirhs import pcg_pallas_multirhs
+        return pcg_pallas_multirhs(S.blocks, gamma, lam0,
+                                   exit_tol=config.exit_tol,
+                                   max_iter=config.max_iter,
+                                   precond=config.preconditioner)
+
+    identity = config.preconditioner == "identity"
+    pblocks = (S.blocks if identity
+               else precond.materialize(S, config).blocks)
+    if config.method == "pipelined":
+        from tpcg.solver.pipelined import pcg_pipelined_jnp
+        base = pcg_pipelined_jnp
+    else:
+        base = jnp_backend.pcg_jnp
+    solve1 = lambda g, l: base(
+        S.blocks, pblocks, g, l, exit_tol=config.exit_tol,
+        max_iter=config.max_iter, identity_pinv=identity,
+        stop_on_nonfinite=config.stop_on_nonfinite)
+    return jax.vmap(solve1)(gamma, lam0)
+
+
 def solve_reference_flat(h_S, h_gamma, h_lambda, state_size: int,
                          knot_points: int,
                          config: Optional[PCGConfig] = None,

@@ -77,3 +77,27 @@ def test_api_multirhs_rejects_bad_shape():
                                dtype=jnp.float64)
     with pytest.raises(ValueError, match="R, K, n"):
         tpcg.pcg_solve_multirhs(S, jnp.ones((4, 3)), backend="jnp")
+
+
+def test_batched_pipelined_inkernel_interpret():
+    """Grid-batched kernel with pipelined method + in-kernel preconditioner
+    (the fastest production fleet configuration)."""
+    from tpcg.solver import pallas_backend
+
+    B, n, K = 3, 4, 12
+    keys = jax.random.split(jax.random.PRNGKey(50), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K,
+                                               dtype=jnp.float32).blocks
+                        for k in keys])
+    gamma = jnp.ones((B, K, n), jnp.float32)
+    res = pallas_backend.pcg_pallas_batched(
+        blocks, None, gamma, jnp.zeros_like(gamma), exit_tol=1e-8,
+        max_iter=200, precond="symmetric_stair", method="pipelined",
+        interpret=True)
+    assert np.all(np.asarray(res.converged))
+    for b in range(B):
+        x_true = np.linalg.solve(
+            np.asarray(layout.cbtd_to_dense(blocks[b]), np.float64),
+            np.ones(K * n))
+        np.testing.assert_allclose(np.asarray(res.lam[b]).reshape(-1),
+                                   x_true, rtol=1e-3, atol=1e-3)

@@ -15,6 +15,13 @@ import tpcg
 from tpcg.models import trajopt
 
 
+def _timed_call(S, gamma, cfg):
+    t0 = time.perf_counter()
+    res = tpcg.pcg_solve_batched(S, gamma, config=cfg)
+    jax.block_until_ready(res.lam)
+    return time.perf_counter() - t0
+
+
 def main():
     B, n, K = 256, 14, 128
     S, gamma = trajopt.batch_systems(jax.random.PRNGKey(0), B, n, K)
@@ -23,10 +30,9 @@ def main():
 
     res = tpcg.pcg_solve_batched(S, gamma, config=cfg)
     jax.block_until_ready(res.lam)
-    t0 = time.perf_counter()
-    res = tpcg.pcg_solve_batched(S, gamma, config=cfg)
-    jax.block_until_ready(res.lam)
-    dt = time.perf_counter() - t0
+    # best-of-3: single host-timed calls on this hardware can absorb a
+    # ~30 ms dispatch-phase hit; the rigorous number comes from bench.py
+    dt = min(_timed_call(S, gamma, cfg) for _ in range(3))
 
     iters = np.asarray(res.iters)
     print(f"{B} systems (n={n}, K={K}): all converged = "

@@ -118,7 +118,7 @@ def pcg_pallas_multirhs(S_blocks, gamma, lam0, *, exit_tol, max_iter: int,
     R, K, n = gamma.shape
     dtype = S_blocks.dtype
     from tpcg.utils.feasibility import check_fused_fits
-    check_fused_fits(n, K, dtype, precond=precond)
+    check_fused_fits(n, K, dtype, precond=precond, rhs=R)
 
     S_lm = to_lane_major(S_blocks)
     g_lm = jnp.swapaxes(gamma, -1, -2)      # (R, n, K)

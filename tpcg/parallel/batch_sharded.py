@@ -58,13 +58,9 @@ def pcg_solve_batch_sharded(S, gamma, lam0=None, *, mesh: Mesh,
                 method=config.method,
                 stop_on_nonfinite=config.stop_on_nonfinite,
                 interpret=interpret)
-        if config.method == "pipelined":
-            from tpcg.solver.pipelined import pcg_pipelined_jnp
-            base = pcg_pipelined_jnp
-        else:
-            base = jnp_backend.pcg_jnp
+        from tpcg.solver.api import _jnp_solver
         solve1 = functools.partial(
-            base, exit_tol=config.exit_tol,
+            _jnp_solver(config.method), exit_tol=config.exit_tol,
             max_iter=config.max_iter, identity_pinv=identity,
             stop_on_nonfinite=config.stop_on_nonfinite)
         return jax.vmap(solve1)(s_loc, p_loc, g_loc, l_loc)

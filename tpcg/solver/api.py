@@ -41,6 +41,14 @@ def _as_bt(S) -> BlockTridiag:
     return BlockTridiag(jnp.asarray(S))
 
 
+def _jnp_solver(method: str):
+    """The jnp-backend solve fn for a PCGConfig.method."""
+    if method == "pipelined":
+        from tpcg.solver.pipelined import pcg_pipelined_jnp
+        return pcg_pipelined_jnp
+    return jnp_backend.pcg_jnp
+
+
 def _pick_backend(backend: str, dtype) -> str:
     if backend not in BACKENDS:
         raise ValueError(f"backend must be one of {BACKENDS}, got {backend!r}")
@@ -93,14 +101,7 @@ def pcg_solve(S, gamma, lam0=None, *,
 
     if backend == "jnp":
         pblocks = S.blocks if identity else Pinv.blocks
-        if config.method == "pipelined":
-            from tpcg.solver.pipelined import pcg_pipelined_jnp
-            return pcg_pipelined_jnp(
-                S.blocks, pblocks, gamma, lam0,
-                exit_tol=config.exit_tol, max_iter=config.max_iter,
-                identity_pinv=identity,
-                stop_on_nonfinite=config.stop_on_nonfinite)
-        return jnp_backend.pcg_jnp(
+        return _jnp_solver(config.method)(
             S.blocks, pblocks, gamma, lam0,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
             identity_pinv=identity,
@@ -154,12 +155,7 @@ def pcg_solve_batched(S, gamma, lam0=None, *,
             method=config.method)
 
     pblocks = S.blocks if identity else Pinv.blocks
-    if config.method == "pipelined":
-        from tpcg.solver.pipelined import pcg_pipelined_jnp
-        base = pcg_pipelined_jnp
-    else:
-        base = jnp_backend.pcg_jnp
-    solve1 = lambda s, p, g, l: base(
+    solve1 = lambda s, p, g, l: _jnp_solver(config.method)(
         s, p, g, l, exit_tol=config.exit_tol, max_iter=config.max_iter,
         identity_pinv=identity,
         stop_on_nonfinite=config.stop_on_nonfinite)
@@ -183,9 +179,18 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
         raise ValueError(f"multi-rhs gamma must be (R, K, n), got "
                          f"{gamma.shape}")
 
+    explicit_pallas = backend == "pallas"
     backend = _pick_backend(backend, S.dtype)
-    if (backend == "pallas" and config.method == "classic"
-            and config.preconditioner != "explicit"):
+    if backend == "pallas" and (config.method != "classic"
+                                or config.preconditioner == "explicit"):
+        if explicit_pallas:
+            raise ValueError(
+                "the multi-RHS fused kernel supports method='classic' with "
+                "a non-explicit preconditioner; use method='classic' or "
+                "backend='jnp'/'auto' (which falls back to the vmapped jnp "
+                "solver)")
+        backend = "jnp"
+    if backend == "pallas":
         from tpcg.ops.multirhs import pcg_pallas_multirhs
         return pcg_pallas_multirhs(S.blocks, gamma, lam0,
                                    exit_tol=config.exit_tol,
@@ -195,12 +200,7 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
     identity = config.preconditioner == "identity"
     pblocks = (S.blocks if identity
                else precond.materialize(S, config).blocks)
-    if config.method == "pipelined":
-        from tpcg.solver.pipelined import pcg_pipelined_jnp
-        base = pcg_pipelined_jnp
-    else:
-        base = jnp_backend.pcg_jnp
-    solve1 = lambda g, l: base(
+    solve1 = lambda g, l: _jnp_solver(config.method)(
         S.blocks, pblocks, g, l, exit_tol=config.exit_tol,
         max_iter=config.max_iter, identity_pinv=identity,
         stop_on_nonfinite=config.stop_on_nonfinite)

@@ -25,7 +25,7 @@ VMEM_HEADROOM = 15 / 16
 
 def fused_vmem_bytes(state_size: int, knot_points: int, dtype=jnp.float32,
                      identity_pinv: bool = False,
-                     precond: str = None) -> int:
+                     precond: str = None, rhs: int = 1) -> int:
     """Estimated VMEM working set of the fused kernel: matrices in
     lane-major layout plus ~10 (n, K) vector pages (gamma/lam0 inputs, lam
     output, r/p/r_tilde/upsilon/shift temporaries in the while carry), state
@@ -51,17 +51,17 @@ def fused_vmem_bytes(state_size: int, knot_points: int, dtype=jnp.float32,
         mat_bytes = 2.2 * S_bytes
     else:
         mat_bytes = 1.6 * 2 * S_bytes
-    vec_bytes = 10 * n_pad * K_pad * itemsize
+    vec_bytes = 10 * rhs * n_pad * K_pad * itemsize  # multi-RHS scales
     return int(mat_bytes) + vec_bytes
 
 
 def check_fused_fits(state_size: int, knot_points: int, dtype=jnp.float32,
                      identity_pinv: bool = False,
-                     precond: str = None) -> None:
+                     precond: str = None, rhs: int = 1) -> None:
     """Raise ValueError (with the max feasible knot_points) if the fused
     kernel's working set exceeds VMEM."""
     need = fused_vmem_bytes(state_size, knot_points, dtype, identity_pinv,
-                            precond)
+                            precond, rhs)
     budget = int(VMEM_BYTES * VMEM_HEADROOM)
     if need > budget:
         # binary-search the max K that fits
@@ -69,7 +69,7 @@ def check_fused_fits(state_size: int, knot_points: int, dtype=jnp.float32,
         while lo < hi:
             mid = (lo + hi + 1) // 2
             if fused_vmem_bytes(state_size, mid, dtype,
-                                identity_pinv, precond) <= budget:
+                                identity_pinv, precond, rhs) <= budget:
                 lo = mid
             else:
                 hi = mid - 1

@@ -84,6 +84,8 @@ def vec_to_lane_major(x):
 
 def _lane_shift_down(x, n, K):
     """Lane-major down-shift: y[:, k] = x[:, k-1], y[:, 0] = 0."""
+    if K == 1:  # no neighbors; also jnp.roll on a size-1 axis produces a
+        return jnp.zeros_like(x)  # zero-size slice Mosaic rejects
     shifted = jnp.roll(x, 1, axis=1)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
     return jnp.where(k_ids == 0, 0, shifted)
@@ -91,6 +93,8 @@ def _lane_shift_down(x, n, K):
 
 def _lane_shift_up(x, n, K):
     """Lane-major up-shift: y[:, k] = x[:, k+1], y[:, K-1] = 0."""
+    if K == 1:
+        return jnp.zeros_like(x)
     shifted = jnp.roll(x, -1, axis=1)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
     return jnp.where(k_ids == K - 1, 0, shifted)

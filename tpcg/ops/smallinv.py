@@ -73,6 +73,8 @@ def blockdiag_mv_lane_major(Dt, x, n: int, K: int):
 def shift_mats_down(D, n: int, K: int):
     """``out[:, :, k] = D[:, :, k-1]``, zeros at k=0 (lane-axis roll +
     boundary mask, like the vector halo shifts in tpcg/ops/bdmv.py)."""
+    if K == 1:
+        return jnp.zeros_like(D)
     rolled = jnp.roll(D, 1, axis=2)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 2)
     return jnp.where(k_ids == 0, 0.0, rolled)
@@ -80,6 +82,8 @@ def shift_mats_down(D, n: int, K: int):
 
 def shift_mats_up(D, n: int, K: int):
     """``out[:, :, k] = D[:, :, k+1]``, zeros at k=K-1."""
+    if K == 1:
+        return jnp.zeros_like(D)
     rolled = jnp.roll(D, -1, axis=2)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 2)
     return jnp.where(k_ids == K - 1, 0.0, rolled)

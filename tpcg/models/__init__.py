@@ -1,2 +1,6 @@
-"""Problem generators: the bundled golden fixture, random SPD systems, and
-trajectory-optimization KKT builders (quadrotor / iiwa14 scales)."""
+"""Problem generators and model families: the bundled golden fixture,
+random SPD systems, synthetic trajectory-optimization KKT builders
+(trajopt), LQR KKT Schur-complement assembly + primal recovery (lqr_kkt),
+physically-structured linearized dynamics (dynamics: double-integrator,
+quadrotor hover, joint-space manipulator), and the receding-horizon MPC
+warm-start loop (mpc)."""

@@ -26,9 +26,9 @@ def test_eta_history_matches_solver():
     # curve is monotone-ish overall and flat after convergence
     e = np.abs(np.asarray(etas))
     k = int(res.iters)
-    assert e[k - 1] < 1e-10
-    assert np.all(e[k - 1:] == e[k - 1])
-    assert e[k - 1] < e[0]
+    assert e[k] < 1e-10
+    assert np.all(e[k:] == e[k])
+    assert e[k] < e[0]
 
 
 def test_eta_history_shows_preconditioner_gap():
@@ -43,3 +43,40 @@ def test_eta_history_shows_preconditioner_gap():
             S, gamma, config=PCGConfig(1e-14, 60, pre))
         curves[pre] = np.abs(np.asarray(etas))
     assert curves["symmetric_stair"][10] < 1e-3 * curves["identity"][10]
+
+
+def test_eta_history_warm_start_zero_iters():
+    """An already-converged warm start implies 0 iterations — matching the
+    solver's fast path exactly (etas[0] is the pre-loop eta)."""
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(5), 4, 8,
+                               dtype=jnp.float64)
+    gamma = jnp.ones((8, 4), jnp.float64)
+    cfg = PCGConfig(exit_tol=1e-10, max_iter=100)
+    sol = pcg_solve(S, gamma, config=cfg, backend="jnp")
+    warm = pcg_solve(S, gamma, sol.lam, config=cfg, backend="jnp")
+    _, etas = diagnostics.eta_history(S, gamma, sol.lam, config=cfg)
+    assert (diagnostics.iterations_to_tolerance(etas, 1e-10)
+            == int(warm.iters))
+
+
+def test_eta_history_rejects_batched():
+    import pytest
+
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(6), 3, 4,
+                               dtype=jnp.float64)
+    batched = jnp.stack([S.blocks, S.blocks])
+    with pytest.raises(ValueError, match="one system"):
+        diagnostics.eta_history(batched, jnp.ones((2, 4, 3), jnp.float64))
+
+
+def test_eta_history_stop_on_nonfinite_matches_solver():
+    blocks = jnp.zeros((6, 3, 3, 3), jnp.float64)  # singular S
+    gamma = jnp.ones((6, 3), jnp.float64)
+    cfg = PCGConfig(exit_tol=1e-30, max_iter=50, stop_on_nonfinite=True)
+    res = pcg_solve(blocks, gamma, config=cfg, backend="jnp")
+    _, etas = diagnostics.eta_history(blocks, gamma, config=cfg)
+    e = np.asarray(etas)
+    # curve freezes at the first non-finite eta, like the solver's exit
+    first_bad = int(np.argmax(~np.isfinite(e)))
+    assert first_bad <= int(res.iters) + 1
+    assert not np.isfinite(e[-1])

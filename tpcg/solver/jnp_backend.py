@@ -50,6 +50,21 @@ def _vdot(a, b):
     return jnp.sum(a * b, axis=(-2, -1))
 
 
+def classic_pcg_step(S_blocks, apply_pinv, lam, r, p, eta):
+    """One classic PCG iteration (pcg.cuh:157-206 order), shared by the
+    solver loop and the diagnostics scan so the reference-parity algorithm
+    has exactly one implementation. Returns (lam, r, p, eta_new)."""
+    ups = bdmv(S_blocks, p)                      # upsilon = S p
+    alpha = eta / _vdot(p, ups)                  # pcg.cuh:163-169
+    lam = lam + alpha * p                        # pcg.cuh:172-176
+    r = r - alpha * ups
+    r_tilde = apply_pinv(r)                      # pcg.cuh:181-184
+    eta_new = _vdot(r, r_tilde)                  # pcg.cuh:187-193
+    beta = eta_new / eta                         # pcg.cuh:199-206
+    p = r_tilde + beta * p
+    return lam, r, p, eta_new
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
                                               "stop_on_nonfinite"))
 def pcg_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
@@ -84,21 +99,10 @@ def pcg_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
         return go
 
     def body(c: _Carry):
-        # upsilon = S p  (pcg.cuh:157-160)
-        ups = bdmv(S.blocks, c.p)
-        # alpha = eta / (p . upsilon)  (pcg.cuh:163-169)
-        alpha = c.eta / _vdot(c.p, ups)
-        # lambda += alpha p ; r -= alpha upsilon  (pcg.cuh:172-176)
-        lam = c.lam + alpha * c.p
-        r = c.r - alpha * ups
-        # r_tilde = Pinv r ; eta_new = r . r_tilde  (pcg.cuh:181-193)
-        r_tilde = apply_pinv(r)
-        eta_new = _vdot(r, r_tilde)
-        # exit test (pcg.cuh:195); on the non-converged path update beta/p
-        # (pcg.cuh:199-206). On the converged path p/eta are dead values.
+        lam, r, p, eta_new = classic_pcg_step(S.blocks, apply_pinv,
+                                              c.lam, c.r, c.p, c.eta)
+        # exit test (pcg.cuh:195); on the converged path p/eta are dead
         converged = jnp.abs(eta_new) < exit_tol
-        beta = eta_new / c.eta
-        p = r_tilde + beta * c.p
         return _Carry(lam, r, p, eta_new, c.iters + 1, converged)
 
     # Deviation from the reference (quirk policy, SURVEY.md §7): if the

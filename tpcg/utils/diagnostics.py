@@ -6,9 +6,11 @@ the next level: the full eta trajectory of a solve — ``eta_k = r_k . Pinv
 r_k`` per iteration, the quantity the exit test watches (pcg.cuh:195) —
 for tolerance tuning, preconditioner comparison, and divergence forensics.
 
-Implemented as a fixed-length ``lax.scan`` over the classic iteration (jnp
-ops, any platform); iterations after convergence hold eta constant, so the
-curve is flat past the exit point the solver would have taken.
+Implemented as a fixed-length ``lax.scan`` whose per-iteration body is the
+SAME ``classic_pcg_step`` the solver loop uses (single source of truth for
+the reference-parity algorithm); iterations after convergence (or, with
+``stop_on_nonfinite``, after divergence) hold eta constant, so the curve is
+flat past the point the solver would have exited.
 """
 
 from __future__ import annotations
@@ -20,12 +22,15 @@ import jax
 import jax.numpy as jnp
 
 from tpcg.ops.bdmv import bdmv
-from tpcg.types import BlockTridiag, PCGConfig
+from tpcg.solver.jnp_backend import classic_pcg_step
+from tpcg.types import BlockTridiag, PCGConfig, check_system
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv"))
+@functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
+                                             "stop_on_nonfinite"))
 def _eta_scan(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
-              max_iter: int, identity_pinv: bool):
+              max_iter: int, identity_pinv: bool,
+              stop_on_nonfinite: bool):
     apply_pinv = ((lambda v: v) if identity_pinv
                   else (lambda v: bdmv(Pinv_blocks, v)))
     r = gamma - bdmv(S_blocks, lam0)
@@ -33,33 +38,37 @@ def _eta_scan(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     p = rt
     eta = jnp.sum(r * rt)
 
+    def stop(eta, done):
+        done = jnp.logical_or(done, jnp.abs(eta) < exit_tol)
+        if stop_on_nonfinite:
+            done = jnp.logical_or(done, jnp.logical_not(jnp.isfinite(eta)))
+        return done
+
     def step(carry, _):
         lam, r, p, eta, done = carry
-        ups = bdmv(S_blocks, p)
-        alpha = eta / jnp.sum(p * ups)
-        lam_n = lam + alpha * p
-        r_n = r - alpha * ups
-        rt = apply_pinv(r_n)
-        eta_n = jnp.sum(r_n * rt)
-        p_n = rt + (eta_n / eta) * p
-        done_n = jnp.logical_or(done, jnp.abs(eta_n) < exit_tol)
-        # freeze once converged so the recorded curve is flat afterwards
+        lam_n, r_n, p_n, eta_n = classic_pcg_step(S_blocks, apply_pinv,
+                                                  lam, r, p, eta)
+        # freeze once the solver would have exited: the curve stays flat
         lam = jnp.where(done, lam, lam_n)
         r = jnp.where(done, r, r_n)
         p = jnp.where(done, p, p_n)
         eta = jnp.where(done, eta, eta_n)
-        return (lam, r, p, eta, done_n), eta
+        return (lam, r, p, eta, stop(eta, done)), eta
 
-    init = (lam0, r, p, eta, jnp.abs(eta) < exit_tol)
+    init = (lam0, r, p, eta, stop(eta, jnp.zeros((), bool)))
     (lam, *_), etas = jax.lax.scan(step, init, None, length=max_iter)
-    return lam, eta, etas
+    return lam, jnp.concatenate([eta[None], etas])
 
 
 def eta_history(S, gamma, lam0=None, *, config: Optional[PCGConfig] = None,
-                Pinv: Optional[BlockTridiag] = None):
+                Pinv=None):
     """Run a solve and return ``(lam, etas)`` where ``etas`` has shape
-    ``(max_iter,)`` — eta after each iteration (flat after convergence).
-    Uses the classic method on the jnp backend regardless of platform."""
+    ``(max_iter + 1,)``: ``etas[0]`` is the pre-loop eta (the quantity the
+    0-iteration fast path checks) and ``etas[k]`` is eta after iteration k
+    (flat after the solver's exit point). Single-system inputs only —
+    ``(K, 3, n, n)`` / ``(K, n)`` — validated like ``pcg_solve`` (a batched
+    input would silently couple systems through the joint reductions).
+    Classic method on the jnp backend regardless of platform."""
     from tpcg import precond
     from tpcg.solver.api import _as_bt
 
@@ -67,20 +76,29 @@ def eta_history(S, gamma, lam0=None, *, config: Optional[PCGConfig] = None,
     gamma = jnp.asarray(gamma)
     lam0 = jnp.zeros_like(gamma) if lam0 is None else jnp.asarray(lam0)
     config = config or PCGConfig()
+    if S.blocks.ndim != 4:
+        raise ValueError(f"eta_history takes one system: S.blocks must be "
+                         f"(K, 3, n, n), got {S.blocks.shape}")
+    check_system(S, gamma, lam0)
+    if Pinv is not None:
+        Pinv = _as_bt(Pinv)
     identity = config.preconditioner == "identity" and Pinv is None
     pblocks = (S.blocks if identity
                else precond.materialize(S, config, Pinv).blocks)
-    lam, _, etas = _eta_scan(S.blocks, pblocks, gamma, lam0,
-                             exit_tol=config.exit_tol,
-                             max_iter=config.max_iter,
-                             identity_pinv=identity)
+    lam, etas = _eta_scan(S.blocks, pblocks, gamma, lam0,
+                          exit_tol=config.exit_tol,
+                          max_iter=config.max_iter,
+                          identity_pinv=identity,
+                          stop_on_nonfinite=config.stop_on_nonfinite)
     return lam, etas
 
 
 def iterations_to_tolerance(etas, exit_tol: float) -> int:
-    """Iteration count implied by an eta curve under the reference's exit
-    semantics (first k with |eta_k| < tol, 1-based; len(etas) if never)."""
+    """Iteration count implied by an eta curve from :func:`eta_history`
+    under the solver's exit semantics: first index k (0-based, so the
+    pre-loop check maps to 0) with ``|etas[k]| < exit_tol``, or
+    ``len(etas) - 1`` (= max_iter) if never reached."""
     import numpy as np
 
     below = np.abs(np.asarray(etas)) < exit_tol
-    return int(np.argmax(below)) + 1 if below.any() else len(etas)
+    return int(np.argmax(below)) if below.any() else len(etas) - 1

@@ -182,13 +182,14 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
     explicit_pallas = backend == "pallas"
     backend = _pick_backend(backend, S.dtype)
     if backend == "pallas" and (config.method != "classic"
-                                or config.preconditioner == "explicit"):
+                                or config.preconditioner == "explicit"
+                                or config.stop_on_nonfinite):
         if explicit_pallas:
             raise ValueError(
                 "the multi-RHS fused kernel supports method='classic' with "
-                "a non-explicit preconditioner; use method='classic' or "
-                "backend='jnp'/'auto' (which falls back to the vmapped jnp "
-                "solver)")
+                "a non-explicit preconditioner and no stop_on_nonfinite; "
+                "adjust the config or use backend='jnp'/'auto' (which falls "
+                "back to the vmapped jnp solver)")
         backend = "jnp"
     if backend == "pallas":
         from tpcg.ops.multirhs import pcg_pallas_multirhs

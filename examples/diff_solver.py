@@ -20,7 +20,8 @@ def main():
     # well-conditioned SPD system so plain gradient descent converges fast
     # (the loss Hessian is S^-2; heavy diagonal keeps its spectrum tame)
     S = tpcg.random_spd_cbtd(jax.random.PRNGKey(0), n, K, diag_boost=5.0)
-    gamma0 = jax.random.normal(jax.random.PRNGKey(1), (K, n))
+    gamma0 = jax.random.normal(jax.random.PRNGKey(1), (K, n),
+                               dtype=S.dtype)
     cfg = tpcg.PCGConfig(exit_tol=1e-8, max_iter=200,
                          preconditioner="symmetric_stair")
     lam_target = tpcg.pcg_solve(S, gamma0, config=cfg).lam

@@ -1,0 +1,55 @@
+"""Public-API mechanics: PCGSolver AOT compilation, backend validation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpcg
+from tpcg import layout
+
+
+def test_pcgsolver_aot_compile_and_solve():
+    n, K = 4, 16
+    cfg = tpcg.PCGConfig(1e-10, 200, "block_jacobi")
+    solver = tpcg.PCGSolver(n, K, cfg, dtype=jnp.float64,
+                            backend="jnp").compile()
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(0), n, K,
+                               dtype=jnp.float64)
+    gamma = jnp.ones((K, n), jnp.float64)
+    res = solver.solve(S, gamma)
+    assert bool(res.converged)
+    x_true = np.linalg.solve(np.asarray(S.dense()), np.ones(K * n))
+    # exit_tol 1e-10 on eta => |r| ~ 1e-5 => ~1e-4 relative solution error
+    np.testing.assert_allclose(np.asarray(res.lam).reshape(-1), x_true,
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_pcgsolver_batched_aot():
+    n, K, B = 3, 8, 4
+    solver = tpcg.PCGSolver(n, K, tpcg.PCGConfig(1e-10, 200), batch=B,
+                            dtype=jnp.float64, backend="jnp").compile()
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K,
+                                               dtype=jnp.float64).blocks
+                        for k in keys])
+    res = solver.solve(tpcg.BlockTridiag(blocks),
+                       jnp.ones((B, K, n), jnp.float64))
+    assert res.lam.shape == (B, K, n)
+    assert np.all(np.asarray(res.converged))
+
+
+def test_bad_backend_rejected():
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(0), 2, 3,
+                               dtype=jnp.float64)
+    with pytest.raises(ValueError, match="backend must be one of"):
+        tpcg.pcg_solve(S, jnp.ones((3, 2), jnp.float64), backend="cuda")
+
+
+def test_multirhs_explicit_pallas_unsupported_combo():
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(0), 2, 4,
+                               dtype=jnp.float32)
+    with pytest.raises(ValueError, match="multi-RHS fused kernel"):
+        tpcg.pcg_solve_multirhs(
+            S, jnp.ones((2, 4, 2), jnp.float32),
+            config=tpcg.PCGConfig(method="pipelined"), backend="pallas")

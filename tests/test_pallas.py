@@ -125,3 +125,20 @@ def test_api_batched_jnp_vs_pallas_interpret(rng):
     assert np.all(np.asarray(res_pal.converged))
     np.testing.assert_allclose(np.asarray(res_pal.lam),
                                np.asarray(res_jnp.lam), rtol=1e-3, atol=1e-4)
+
+
+def test_fused_pipelined_explicit_pinv_interpret():
+    """Pipelined method with a caller-provided (explicit) Pinv."""
+    n, K = 5, 16
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(60), n, K,
+                               dtype=jnp.float32)
+    gamma = jnp.ones((K, n), jnp.float32)
+    Pb = precond.build(S, "block_jacobi").blocks
+    res = pallas_backend.pcg_pallas(
+        S.blocks, Pb, gamma, jnp.zeros_like(gamma), exit_tol=1e-8,
+        max_iter=200, method="pipelined", interpret=True)
+    assert bool(res.converged)
+    x_true = np.linalg.solve(np.asarray(S.dense(), np.float64),
+                             np.ones(K * n))
+    np.testing.assert_allclose(np.asarray(res.lam).reshape(-1), x_true,
+                               rtol=1e-3, atol=1e-3)

@@ -15,6 +15,9 @@ TPU-native replacement for the reference's three ``solvePCG`` overloads
   keeps problem data device-resident across receding-horizon steps.
 * :func:`pcg_solve_batched` — N independent systems at once (parallel MPC),
   the capability the reference lacks (SURVEY.md §2, BASELINE.md config 5).
+* :func:`pcg_solve_multirhs` — one system, R right-hand sides jointly.
+  (Implicit differentiation lives in tpcg/solver/implicit_diff.py; the
+  multi-chip entry points in tpcg/parallel/.)
 
 The CSR entry point the reference stubbed out with ``exit(12)``
 (interface.cuh:9-20) is served by ``tpcg.layout.from_csr`` + these functions.

@@ -25,6 +25,16 @@ if not os.environ.get("TPCG_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compile cache for the suite (separate, gitignored dir — the
+# tracked .jax_cache holds TPU executables for bench): most suite time is
+# XLA-compiling small while-loop solvers per shape; warm runs are much
+# faster.
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

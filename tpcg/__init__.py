@@ -20,6 +20,7 @@ from tpcg.solver.api import (pcg_solve, pcg_solve_batched,
                              pcg_solve_multirhs,
                              solve_reference_flat, PCGSolver)
 from tpcg.solver.implicit_diff import pcg_solve_grad
+from tpcg.solver.direct import bcr_solve
 from tpcg import precond
 
 __version__ = "0.1.0"
@@ -31,5 +32,5 @@ __all__ = [
     "cbtd_to_dense", "from_csr", "random_spd_cbtd",
     "pcg_solve", "pcg_solve_batched", "pcg_solve_multirhs",
     "solve_reference_flat", "PCGSolver",
-    "pcg_solve_grad", "precond",
+    "pcg_solve_grad", "bcr_solve", "precond",
 ]

@@ -69,7 +69,14 @@ class LQRProblem(NamedTuple):
 
 def schur_system(p: LQRProblem):
     """Form (S: BlockTridiag, gamma) from LQR problem data — all batched
-    small-matrix ops that XLA vectorizes over the knot axis."""
+    small-matrix ops that XLA vectorizes over the knot axis. Assembled at
+    full f32 matmul precision (TPU einsums otherwise run bf16-grade, which
+    would perturb the PROBLEM, not just the solve)."""
+    with jax.default_matmul_precision("highest"):
+        return _schur_system_impl(p)
+
+
+def _schur_system_impl(p: LQRProblem):
     K, n = p.knot_points, p.state_size
     Qinv = jnp.linalg.inv(p.Q)                    # (K, n, n)
     Rinv = jnp.linalg.inv(p.R)                    # (K-1, m, m)
@@ -98,6 +105,11 @@ def schur_system(p: LQRProblem):
 def recover_primal(p: LQRProblem, lam):
     """Recover the primal trajectory from the multipliers:
     x (K, n), u (K-1, m)."""
+    with jax.default_matmul_precision("highest"):
+        return _recover_primal_impl(p, lam)
+
+
+def _recover_primal_impl(p: LQRProblem, lam):
     Qinv = jnp.linalg.inv(p.Q)
     Rinv = jnp.linalg.inv(p.R)
     # A_k' lam_{k+1}, absent for the terminal knot

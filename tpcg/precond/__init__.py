@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
+import jax
 from tpcg.layout import zero_pad_slots
 from tpcg.types import BlockTridiag, PCGConfig
 
@@ -34,8 +35,10 @@ def identity(S: BlockTridiag) -> BlockTridiag:
 
 
 def _inv_diag(S: BlockTridiag):
-    """Batched inverse of the K diagonal blocks."""
-    return jnp.linalg.inv(S.blocks[..., :, 1, :, :])
+    """Batched inverse of the K diagonal blocks (full f32 precision — TPU
+    matmuls otherwise default to bf16-grade MXU passes)."""
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.inv(S.blocks[..., :, 1, :, :])
 
 
 def block_jacobi(S: BlockTridiag) -> BlockTridiag:
@@ -61,12 +64,15 @@ def symmetric_stair(S: BlockTridiag) -> BlockTridiag:
     Dinv = _inv_diag(S)  # (..., K, n, n)
     L = S.blocks[..., :, 0, :, :]
     R = S.blocks[..., :, 2, :, :]
+    prec = jax.lax.Precision.HIGHEST
     Dinv_dn = jnp.concatenate(
         [jnp.zeros_like(Dinv[..., :1, :, :]), Dinv[..., :-1, :, :]], axis=-3)
     Dinv_up = jnp.concatenate(
         [Dinv[..., 1:, :, :], jnp.zeros_like(Dinv[..., :1, :, :])], axis=-3)
-    left = -jnp.einsum('...kij,...kjm,...kmn->...kin', Dinv, L, Dinv_dn)
-    right = -jnp.einsum('...kij,...kjm,...kmn->...kin', Dinv, R, Dinv_up)
+    left = -jnp.einsum('...kij,...kjm,...kmn->...kin', Dinv, L, Dinv_dn,
+                       precision=prec)
+    right = -jnp.einsum('...kij,...kjm,...kmn->...kin', Dinv, R, Dinv_up,
+                        precision=prec)
     blocks = jnp.stack([left, Dinv, right], axis=-3)
     return BlockTridiag(zero_pad_slots(blocks))
 

@@ -34,7 +34,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from tpcg.types import BlockTridiag, PCGResult
+from tpcg.types import PCGResult
 
 
 # TPU f32 matmuls default to bf16-grade MXU passes (observed: 8% relative
@@ -91,7 +91,6 @@ def _bcr_impl(blocks, gamma):
 
         # even row k couples to odd row k-1 (the odd row ABOVE: index
         # j = k//2 - 1 in the odd arrays) and odd row k+1 (j = k//2).
-        m = De.shape[0]
         # contribution from the odd row above (absent for even row 0)
         DinvR_up = _mm(Do_inv, Ro)          # D_{k-1}^-1 R_{k-1}
         DinvL_up = _mm(Do_inv, Lo)
@@ -119,8 +118,7 @@ def _bcr_impl(blocks, gamma):
         x_below = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])])
         rhs = bo - _mv(Lo, x_above) - _mv(Ro, x_below)
         x_odd = jnp.linalg.solve(Do, rhs[..., None])[..., 0]
-        m = x.shape[0]
-        out = jnp.zeros((2 * m, x.shape[1]), x.dtype)
+        out = jnp.zeros((2 * x.shape[0], x.shape[1]), x.dtype)
         out = out.at[0::2].set(x)
         out = out.at[1::2].set(x_odd)
         x = out

@@ -23,7 +23,9 @@ def mpc_schur_system(key, state_size: int, knot_points: int,
                      control_size: int = None, dtype=jnp.float32,
                      dt: float = 0.05):
     """Build (S, gamma) with the exact block-tridiagonal structure of the
-    Schur complement of an LQR-style KKT system.
+    Schur complement of an LQR-style KKT system. Assembled at full matmul
+    precision so the generated benchmark instances are identical across
+    platforms (TPU einsums otherwise run bf16-grade).
 
     With cost Hessians Q_k (SPD) and dynamics Jacobians A_k, the Schur
     complement onto the dynamics multipliers has
@@ -31,6 +33,12 @@ def mpc_schur_system(key, state_size: int, knot_points: int,
       offd_k  = -A_k Q_k^-1  (coupling neighboring knots)
     which is SPD block-tridiagonal — the system family the solver targets.
     """
+    with jax.default_matmul_precision("highest"):
+        return _mpc_schur_impl(key, state_size, knot_points, control_size,
+                               dtype, dt)
+
+
+def _mpc_schur_impl(key, state_size, knot_points, control_size, dtype, dt):
     n, K = state_size, knot_points
     m = control_size if control_size is not None else max(1, n // 2)
     kA, kB, kQ, kg = jax.random.split(key, 4)

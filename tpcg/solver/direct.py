@@ -29,8 +29,6 @@ a principal Schur complement of an SPD matrix).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -63,7 +61,7 @@ def _pad_pow2(L, D, R, b):
             jnp.concatenate([b, jnp.zeros((pad, n), b.dtype)]), K)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def bcr_solve_blocks(blocks, gamma):
     """Exact solve of ``S x = gamma`` by block cyclic reduction.
 
@@ -86,38 +84,34 @@ def _bcr_impl(blocks, gamma):
     while b.shape[0] > 1:
         Le, De, Re, be = L[0::2], D[0::2], R[0::2], b[0::2]   # even rows
         Lo, Do, Ro, bo = L[1::2], D[1::2], R[1::2], b[1::2]   # odd rows
-        levels.append((Lo, Do, Ro, bo))
         Do_inv = jnp.linalg.inv(Do)
+        levels.append((Lo, Do_inv, Ro, bo))
 
         # even row k couples to odd row k-1 (the odd row ABOVE: index
         # j = k//2 - 1 in the odd arrays) and odd row k+1 (j = k//2).
-        # contribution from the odd row above (absent for even row 0)
-        DinvR_up = _mm(Do_inv, Ro)          # D_{k-1}^-1 R_{k-1}
-        DinvL_up = _mm(Do_inv, Lo)
-        Dinvb_up = _mv(Do_inv, bo)
+        DinvL = _mm(Do_inv, Lo)
+        DinvR = _mm(Do_inv, Ro)
+        Dinvb = _mv(Do_inv, bo)
+        # "up": odd-row-above quantities land at even index j via a shift
+        # (absent for even row 0)
         up = lambda a: jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]])
-        D_new = De - _mm(Le, up(DinvR_up))
-        L_new = -_mm(Le, up(DinvL_up))
-        b_new = be - _mv(Le, up(Dinvb_up))
-        # contribution from the odd row below (always exists after pow2
-        # padding: K2 even means the last row is odd)
-        D_new = D_new - _mm(Re, _mm(Do_inv, Lo))
-        R_new = -_mm(Re, _mm(Do_inv, Ro))
-        b_new = b_new - _mv(Re, _mv(Do_inv, bo))
+        D_new = De - _mm(Le, up(DinvR)) - _mm(Re, DinvL)
+        L_new = -_mm(Le, up(DinvL))
+        R_new = -_mm(Re, DinvR)
+        b_new = be - _mv(Le, up(Dinvb)) - _mv(Re, Dinvb)
 
         L, D, R, b = L_new, D_new, R_new, b_new
 
     # --- root solve ---
     x = jnp.linalg.solve(D[0], b[0])[None]   # (1, n)
 
-    # --- back-substitution ---
-    for Lo, Do, Ro, bo in reversed(levels):
+    # --- back-substitution (reusing each level's Do_inv) ---
+    for Lo, Do_inv, Ro, bo in reversed(levels):
         # interleave: evens are the solved x; odds from their neighbors
         # odd row j sits between even rows j (above) and j+1 (below)
         x_above = x                                           # (m, n)
         x_below = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])])
-        rhs = bo - _mv(Lo, x_above) - _mv(Ro, x_below)
-        x_odd = jnp.linalg.solve(Do, rhs[..., None])[..., 0]
+        x_odd = _mv(Do_inv, bo - _mv(Lo, x_above) - _mv(Ro, x_below))
         out = jnp.zeros((2 * x.shape[0], x.shape[1]), x.dtype)
         out = out.at[0::2].set(x)
         out = out.at[1::2].set(x_odd)
@@ -128,8 +122,10 @@ def _bcr_impl(blocks, gamma):
 
 def bcr_solve(S, gamma) -> PCGResult:
     """Direct-solve convenience wrapper returning the same structured
-    result type as the iterative solvers (``iters=0``, ``converged=True``,
-    ``eta`` = final true residual inner product for parity of diagnostics).
+    result type as the iterative solvers: ``iters=0``, ``converged`` =
+    the solution is finite (a singular/indefinite S NaNs the elimination —
+    nothing validates SPD up front), ``eta`` = true residual inner product
+    (computed at full matmul precision, like the solve itself).
     """
     from tpcg.ops.bdmv import bdmv
     from tpcg.solver.api import _as_bt
@@ -137,6 +133,9 @@ def bcr_solve(S, gamma) -> PCGResult:
     S = _as_bt(S)
     gamma = jnp.asarray(gamma)
     x = bcr_solve_blocks(S.blocks, gamma)
-    r = gamma - bdmv(S.blocks, x)
+    with jax.default_matmul_precision("highest"):
+        r = gamma - bdmv(S.blocks, x)
+    eta = jnp.sum(r * r)
+    ok = jnp.logical_and(jnp.all(jnp.isfinite(x)), jnp.isfinite(eta))
     return PCGResult(lam=x, iters=jnp.zeros((), jnp.int32),
-                     converged=jnp.ones((), bool), eta=jnp.sum(r * r))
+                     converged=ok, eta=eta)

@@ -49,7 +49,10 @@ def test_bad_backend_rejected():
 def test_multirhs_explicit_pallas_unsupported_combo():
     S = layout.random_spd_cbtd(jax.random.PRNGKey(0), 2, 4,
                                dtype=jnp.float32)
+    # pipelined IS supported in the multi-RHS kernel now; the remaining
+    # unsupported combos are explicit Pinv and stop_on_nonfinite
     with pytest.raises(ValueError, match="multi-RHS fused kernel"):
         tpcg.pcg_solve_multirhs(
             S, jnp.ones((2, 4, 2), jnp.float32),
-            config=tpcg.PCGConfig(method="pipelined"), backend="pallas")
+            config=tpcg.PCGConfig(stop_on_nonfinite=True),
+            backend="pallas")

@@ -101,3 +101,41 @@ def test_batched_pipelined_inkernel_interpret():
             np.ones(K * n))
         np.testing.assert_allclose(np.asarray(res.lam[b]).reshape(-1),
                                    x_true, rtol=1e-3, atol=1e-3)
+
+
+def test_multirhs_pipelined_matches_classic(rng):
+    """Pipelined multi-RHS kernel: per-rhs solutions match the classic
+    kernel at the convergence tolerance."""
+    R, n, K = 3, 5, 16
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(70), n, K,
+                               dtype=jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal((R, K, n)), jnp.float32)
+    lam0 = jnp.zeros_like(gamma)
+    res_c = pcg_pallas_multirhs(S.blocks, gamma, lam0, exit_tol=1e-8,
+                                max_iter=200, precond="symmetric_stair",
+                                interpret=True)
+    res_p = pcg_pallas_multirhs(S.blocks, gamma, lam0, exit_tol=1e-8,
+                                max_iter=200, precond="symmetric_stair",
+                                method="pipelined", interpret=True)
+    assert np.all(np.asarray(res_p.converged))
+    for i in range(R):
+        assert abs(int(res_p.iters[i]) - int(res_c.iters[i])) <= 3
+        np.testing.assert_allclose(np.asarray(res_p.lam[i]),
+                                   np.asarray(res_c.lam[i]), rtol=1e-3,
+                                   atol=1e-3)
+
+
+def test_multirhs_pipelined_frozen_rhs(rng):
+    """rhs 0 already converged at entry stays frozen under pipelined too."""
+    n, K = 4, 8
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(71), n, K,
+                               dtype=jnp.float32)
+    gamma = jnp.zeros((2, K, n), jnp.float32).at[1].set(1.0)
+    res = pcg_pallas_multirhs(S.blocks, gamma, jnp.zeros_like(gamma),
+                              exit_tol=1e-10, max_iter=100,
+                              precond="block_jacobi", method="pipelined",
+                              interpret=True)
+    assert np.all(np.isfinite(np.asarray(res.lam)))
+    assert int(res.iters[0]) == 0 and bool(res.converged[0])
+    assert bool(res.converged[1])
+    assert np.all(np.asarray(res.lam[0]) == 0)

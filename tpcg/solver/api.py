@@ -184,12 +184,11 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
 
     explicit_pallas = backend == "pallas"
     backend = _pick_backend(backend, S.dtype)
-    if backend == "pallas" and (config.method != "classic"
-                                or config.preconditioner == "explicit"
+    if backend == "pallas" and (config.preconditioner == "explicit"
                                 or config.stop_on_nonfinite):
         if explicit_pallas:
             raise ValueError(
-                "the multi-RHS fused kernel supports method='classic' with "
+                "the multi-RHS fused kernel supports classic/pipelined with "
                 "a non-explicit preconditioner and no stop_on_nonfinite; "
                 "adjust the config or use backend='jnp'/'auto' (which falls "
                 "back to the vmapped jnp solver)")
@@ -199,7 +198,8 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
         return pcg_pallas_multirhs(S.blocks, gamma, lam0,
                                    exit_tol=config.exit_tol,
                                    max_iter=config.max_iter,
-                                   precond=config.preconditioner)
+                                   precond=config.preconditioner,
+                                   method=config.method)
 
     identity = config.preconditioner == "identity"
     pblocks = (S.blocks if identity

@@ -65,6 +65,8 @@ def _multirhs_kernel(tol_ref, S_ref, gamma_ref, lam0_ref,
     vdot = lambda a, b: jnp.sum(jnp.sum(a * b, axis=2), axis=1,
                                 keepdims=True)                 # (R, 1)
 
+    if method not in ("classic", "pipelined"):
+        raise ValueError(f"bad method {method!r}")
     if method == "pipelined":
         lam, iters, conv32, eta = _multirhs_pipelined_loop(
             mv, apply_pinv, vdot, gamma, lam0, tol, max_iter, R)
@@ -206,7 +208,7 @@ def pcg_pallas_multirhs(S_blocks, gamma, lam0, *, exit_tol, max_iter: int,
     R, K, n = gamma.shape
     dtype = S_blocks.dtype
     from tpcg.utils.feasibility import check_fused_fits
-    check_fused_fits(n, K, dtype, precond=precond, rhs=R)
+    check_fused_fits(n, K, dtype, precond=precond, rhs=R, method=method)
 
     S_lm = to_lane_major(S_blocks)
     g_lm = jnp.swapaxes(gamma, -1, -2)      # (R, n, K)

@@ -33,7 +33,8 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     """
     from tpcg.utils.feasibility import check_fused_fits
     check_fused_fits(S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
-                     identity_pinv=Pinv_blocks is None, precond=precond)
+                     identity_pinv=Pinv_blocks is None, precond=precond,
+                     method=method)
     S_lm = to_lane_major(S_blocks)
     Pinv_lm = None if Pinv_blocks is None else to_lane_major(
         Pinv_blocks)
@@ -60,7 +61,8 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     ``(B, K, n)``. VMEM holds one system per grid step."""
     from tpcg.utils.feasibility import check_fused_fits
     check_fused_fits(S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
-                     identity_pinv=Pinv_blocks is None, precond=precond)
+                     identity_pinv=Pinv_blocks is None, precond=precond,
+                     method=method)
     to_lm = jax.vmap(to_lane_major)
     S_lm = to_lm(S_blocks)
     Pinv_lm = None if Pinv_blocks is None else to_lm(Pinv_blocks)

@@ -67,6 +67,11 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
     backend, the fused Pallas kernel, and the sharded solver all share one
     implementation. Returns ``(x, iters, converged, eta)``.
 
+    NOTE: tpcg/ops/multirhs.py:_multirhs_pipelined_loop carries a masked
+    per-rhs variant of these recurrences (scalars are (R,1), converged rhs
+    frozen with jnp.where) that could not reuse this body; changes to the
+    recurrence or the replacement cadence must be mirrored there.
+
     ``replace_every``: pipelined CG's recurrences drift in fp32 (observed on
     hardware: an iiwa-scale K=512 system stagnated above a 1e-6 tolerance
     the classic method reached in 36 iterations). Every ``replace_every``

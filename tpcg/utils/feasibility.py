@@ -25,7 +25,8 @@ VMEM_HEADROOM = 15 / 16
 
 def fused_vmem_bytes(state_size: int, knot_points: int, dtype=jnp.float32,
                      identity_pinv: bool = False,
-                     precond: str = None, rhs: int = 1) -> int:
+                     precond: str = None, rhs: int = 1,
+                     method: str = "classic") -> int:
     """Estimated VMEM working set of the fused kernel: matrices in
     lane-major layout plus ~10 (n, K) vector pages (gamma/lam0 inputs, lam
     output, r/p/r_tilde/upsilon/shift temporaries in the while carry), state
@@ -51,17 +52,21 @@ def fused_vmem_bytes(state_size: int, knot_points: int, dtype=jnp.float32,
         mat_bytes = 2.2 * S_bytes
     else:
         mat_bytes = 1.6 * 2 * S_bytes
-    vec_bytes = 10 * rhs * n_pad * K_pad * itemsize  # multi-RHS scales
+    # classic carry: lam/r/p + gamma/lam0/out + rt/ups/shift temps ~ 10
+    # pages; pipelined carries x/r/u/w/z/q/s/p + m/nn temps ~ 14
+    pages = 14 if method == "pipelined" else 10
+    vec_bytes = pages * rhs * n_pad * K_pad * itemsize
     return int(mat_bytes) + vec_bytes
 
 
 def check_fused_fits(state_size: int, knot_points: int, dtype=jnp.float32,
                      identity_pinv: bool = False,
-                     precond: str = None, rhs: int = 1) -> None:
+                     precond: str = None, rhs: int = 1,
+                     method: str = "classic") -> None:
     """Raise ValueError (with the max feasible knot_points) if the fused
     kernel's working set exceeds VMEM."""
     need = fused_vmem_bytes(state_size, knot_points, dtype, identity_pinv,
-                            precond, rhs)
+                            precond, rhs, method)
     budget = int(VMEM_BYTES * VMEM_HEADROOM)
     if need > budget:
         # binary-search the max K that fits
@@ -69,7 +74,8 @@ def check_fused_fits(state_size: int, knot_points: int, dtype=jnp.float32,
         while lo < hi:
             mid = (lo + hi + 1) // 2
             if fused_vmem_bytes(state_size, mid, dtype,
-                                identity_pinv, precond, rhs) <= budget:
+                                identity_pinv, precond, rhs,
+                                method) <= budget:
                 lo = mid
             else:
                 hi = mid - 1

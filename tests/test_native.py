@@ -77,3 +77,22 @@ def test_native_csr_rejects_off_band():
     val = np.array([2.0])
     with pytest.raises(ValueError, match="band"):
         native.csr_to_cbtd(row_ptr, col_ind, val, 2, 3)
+
+
+def test_dense_to_cbtd_native_and_fallback(rng):
+    n, K = 3, 4
+    blocks = rng.standard_normal((K, 3, n, n))
+    blocks[0, 0] = 0
+    blocks[-1, 2] = 0
+    from tpcg.layout import cbtd_to_dense
+    import jax.numpy as jnp
+
+    A = np.asarray(cbtd_to_dense(jnp.asarray(blocks)))
+    got = native.dense_to_cbtd(A, n, K)
+    np.testing.assert_allclose(got, blocks, atol=1e-14)
+    bad = A.copy()
+    bad[0, -1] = 5.0
+    import pytest
+
+    with pytest.raises(ValueError, match="band"):
+        native.dense_to_cbtd(bad, n, K)

@@ -125,6 +125,38 @@ def validate_cbtd(blocks, tol: float = 0.0) -> int:
     return 0
 
 
+def dense_to_cbtd(dense, n: int, K: int) -> np.ndarray:
+    """Dense (K*n, K*n) row-major -> canonical blocks, on host (native fast
+    path; numpy fallback). Raises ValueError on nonzeros outside the band —
+    matching the C++ (csrc/cbtd.cpp:tpcg_dense_to_cbtd)."""
+    lib = _find_lib()
+    d64 = np.ascontiguousarray(dense, dtype=np.float64)
+    N = K * n
+    if d64.shape != (N, N):
+        raise ValueError(f"dense must be ({N}, {N}), got {d64.shape}")
+    if lib is not None:
+        out = np.zeros((K, 3, n, n), dtype=np.float64)
+        rc = lib.tpcg_dense_to_cbtd(
+            d64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n, K,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if rc != 0:
+            raise ValueError("dense matrix has nonzeros outside the block "
+                             "tridiagonal band (native error code "
+                             f"{rc})")
+        return out.astype(np.asarray(dense).dtype, copy=False)
+    # numpy fallback mirroring the C++
+    out = np.zeros((K, 3, n, n), dtype=np.float64)
+    tiles = d64.reshape(K, n, K, n).transpose(0, 2, 1, 3)  # (K, K, n, n)
+    for d, off in ((0, -1), (1, 0), (2, 1)):
+        idx = np.arange(max(0, -off), K - max(0, off))
+        out[idx, d] = tiles[idx, idx + off]
+    mask = np.abs(np.arange(K)[:, None] - np.arange(K)[None, :]) > 1
+    if K > 1 and np.any(tiles[mask] != 0):
+        raise ValueError("dense matrix has nonzeros outside the block "
+                         "tridiagonal band (native error code 1)")
+    return out.astype(np.asarray(dense).dtype, copy=False)
+
+
 def refflat_to_cbtd(flat, n: int, K: int) -> np.ndarray:
     """Reference flat (column-major blocks) -> canonical blocks, on host."""
     lib = _find_lib()

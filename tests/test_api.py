@@ -56,3 +56,35 @@ def test_multirhs_explicit_pallas_unsupported_combo():
             S, jnp.ones((2, 4, 2), jnp.float32),
             config=tpcg.PCGConfig(stop_on_nonfinite=True),
             backend="pallas")
+
+
+def test_multirhs_rejects_explicit_preconditioner():
+    """'explicit' has no Pinv argument on this entry point; the error must
+    say so up front instead of deep in precond.materialize (ADVICE r1)."""
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(0), 2, 4,
+                               dtype=jnp.float64)
+    with pytest.raises(ValueError, match="does not accept a prebuilt Pinv"):
+        tpcg.pcg_solve_multirhs(
+            S, jnp.ones((2, 4, 2), jnp.float64),
+            config=tpcg.PCGConfig(preconditioner="explicit"))
+
+
+def test_batched_shape_mismatch_is_clear():
+    """pcg_solve_batched runs check_system: a gamma shape mismatch raises a
+    named ValueError, not an opaque tracing error (ADVICE r1)."""
+    B, n, K = 2, 3, 4
+    blocks = jnp.zeros((B, K, 3, n, n), jnp.float64)
+    with pytest.raises(ValueError, match="gamma shape"):
+        tpcg.pcg_solve_batched(blocks, jnp.zeros((B, K, n + 1), jnp.float64))
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        tpcg.pcg_solve_batched(blocks, jnp.zeros((B, K, n), jnp.float32))
+
+
+def test_multirhs_shape_mismatch_is_clear():
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(0), 2, 4,
+                               dtype=jnp.float64)
+    with pytest.raises(ValueError, match="gamma shape"):
+        tpcg.pcg_solve_multirhs(S, jnp.ones((2, 4, 3), jnp.float64))
+    with pytest.raises(ValueError, match="lam0 shape"):
+        tpcg.pcg_solve_multirhs(S, jnp.ones((2, 4, 2), jnp.float64),
+                                lam0=jnp.ones((3, 4, 2), jnp.float64))

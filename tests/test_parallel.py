@@ -205,3 +205,78 @@ def test_sharded_stop_on_nonfinite():
                             config=cfg)
     assert not bool(res.converged)
     assert int(res.iters) < 5000
+
+
+def test_knot_sharded_batched_pipelined_2d_mesh(rng):
+    """Pipelined fleet on the 2x4 (batch x knot) mesh: per-system results
+    must match the single-device pipelined oracle exactly in iteration
+    counts (VERDICT r1 item 8)."""
+    from tpcg.parallel.knot_sharded import pcg_knot_sharded_batched
+    from tpcg.solver.pipelined import pcg_pipelined_jnp
+    from jax.sharding import NamedSharding
+
+    B, n, K = 4, 4, 16
+    keys = jax.random.split(jax.random.PRNGKey(41), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K,
+                                               dtype=jnp.float64).blocks
+                        for k in keys])
+    gamma = jnp.asarray(rng.standard_normal((B, K, n)))
+    lam0 = jnp.zeros_like(gamma)
+    pb = precond.build(BlockTridiag(blocks), "block_jacobi").blocks
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                ("batch", "knot"))
+    shard = NamedSharding(mesh, P("batch", "knot"))
+    args = [jax.device_put(x, shard) for x in (blocks, pb, gamma, lam0)]
+    res = pcg_knot_sharded_batched(*args, mesh=mesh, exit_tol=1e-12,
+                                   max_iter=300, method="pipelined")
+    assert np.all(np.asarray(res.converged))
+    for b in range(B):
+        r1 = pcg_pipelined_jnp(blocks[b], pb[b], gamma[b], lam0[b],
+                               exit_tol=1e-12, max_iter=300)
+        assert int(res.iters[b]) == int(r1.iters), f"system {b}"
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), atol=1e-9)
+
+
+def test_knot_sharded_batched_stop_on_nonfinite():
+    """A diverging fleet member (singular S -> eta NaN) must freeze with
+    converged=False without stalling the healthy members."""
+    from tpcg.parallel.knot_sharded import pcg_knot_sharded_batched
+    from jax.sharding import NamedSharding
+
+    B, n, K = 2, 3, 8
+    good = layout.random_spd_cbtd(jax.random.PRNGKey(5), n, K,
+                                  dtype=jnp.float64).blocks
+    blocks = jnp.stack([jnp.zeros_like(good), good])  # system 0 singular
+    gamma = jnp.ones((B, K, n), jnp.float64)
+    lam0 = jnp.zeros_like(gamma)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("batch", "knot"))
+    shard = NamedSharding(mesh, P("batch", "knot"))
+    args = [jax.device_put(x, shard) for x in (blocks, blocks, gamma, lam0)]
+    res = pcg_knot_sharded_batched(*args, mesh=mesh, exit_tol=1e-12,
+                                   max_iter=5000, identity_pinv=True,
+                                   stop_on_nonfinite=True)
+    assert not bool(res.converged[0])
+    assert bool(res.converged[1])
+    assert int(res.iters[1]) < 5000
+    # healthy member's solution is real
+    x_true = np.linalg.solve(np.asarray(BlockTridiag(good).dense()),
+                             np.ones(K * n))
+    np.testing.assert_allclose(np.asarray(res.lam[1]).reshape(-1), x_true,
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_knot_sharded_batched_rejects_unknown_method():
+    from tpcg.parallel.knot_sharded import pcg_knot_sharded_batched
+
+    n, K = 3, 8
+    blocks = jnp.zeros((2, K, 3, n, n), jnp.float64)
+    v = jnp.zeros((2, K, n), jnp.float64)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                ("batch", "knot"))
+    with pytest.raises(ValueError, match="method"):
+        pcg_knot_sharded_batched(blocks, blocks, v, v, mesh=mesh,
+                                 exit_tol=1e-6, max_iter=10,
+                                 method="nope")

@@ -54,9 +54,14 @@ def bdmv(blocks, x):
     left = blocks[..., :, 0, :, :]
     diag = blocks[..., :, 1, :, :]
     right = blocks[..., :, 2, :, :]
-    y = jnp.einsum('...knm,...km->...kn', diag, x)
-    y = y + jnp.einsum('...knm,...km->...kn', left, shift_down(x))
-    y = y + jnp.einsum('...knm,...km->...kn', right, shift_up(x))
+    # precision pinned: TPU f32 einsums default to bf16-grade MXU passes,
+    # which perturbs iteration counts vs the pure-VPU fused kernel (CLAUDE.md)
+    prec = jax.lax.Precision.HIGHEST
+    y = jnp.einsum('...knm,...km->...kn', diag, x, precision=prec)
+    y = y + jnp.einsum('...knm,...km->...kn', left, shift_down(x),
+                       precision=prec)
+    y = y + jnp.einsum('...knm,...km->...kn', right, shift_up(x),
+                       precision=prec)
     return y
 
 

@@ -51,9 +51,11 @@ def bdmv_knot_sharded(blocks_loc, x_loc, axis_name: str, nd: int):
     right_halo = jax.lax.ppermute(x_loc[:1], axis_name, perm=bwd)
     x_dn = jnp.concatenate([left_halo, x_loc[:-1]], axis=0)
     x_up = jnp.concatenate([x_loc[1:], right_halo], axis=0)
-    y = jnp.einsum('knm,km->kn', blocks_loc[:, 1], x_loc)
-    y = y + jnp.einsum('knm,km->kn', blocks_loc[:, 0], x_dn)
-    y = y + jnp.einsum('knm,km->kn', blocks_loc[:, 2], x_up)
+    # precision pinned: bf16-grade MXU defaults perturb iteration counts
+    prec = jax.lax.Precision.HIGHEST
+    y = jnp.einsum('knm,km->kn', blocks_loc[:, 1], x_loc, precision=prec)
+    y = y + jnp.einsum('knm,km->kn', blocks_loc[:, 0], x_dn, precision=prec)
+    y = y + jnp.einsum('knm,km->kn', blocks_loc[:, 2], x_up, precision=prec)
     return y
 
 
@@ -153,20 +155,29 @@ def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
 
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis_name", "batch_axis_name",
-                                    "max_iter", "identity_pinv"))
+                                    "max_iter", "identity_pinv", "method",
+                                    "stop_on_nonfinite"))
 def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
                              mesh: Mesh, axis_name: str = "knot",
                              batch_axis_name: Optional[str] = "batch",
                              exit_tol, max_iter: int,
-                             identity_pinv: bool = False) -> PCGResult:
+                             identity_pinv: bool = False,
+                             method: str = "classic",
+                             stop_on_nonfinite: bool = False) -> PCGResult:
     """Fleet of B systems, each with its knot axis sharded: the 2D-mesh
     (batch x knot) composition — batch is the zero-communication DCN-friendly
     axis, knot halos/reductions ride ICI.
 
     Inputs: ``S_blocks (B, K, 3, n, n)``, vectors ``(B, K, n)``. Per-system
-    semantics match independent solves exactly: converged systems are frozen
-    (masked updates) while the fleet loop runs until all converge or
-    ``max_iter``; per-system ``iters``/``converged``/``eta`` are returned.
+    semantics match independent solves exactly: converged (or, with
+    ``stop_on_nonfinite``, diverged) systems are frozen (masked updates)
+    while the fleet loop runs until all halt or ``max_iter``; per-system
+    ``iters``/``converged``/``eta`` are returned.
+
+    ``method="pipelined"`` runs the Ghysels-Vanroose recurrences
+    (tpcg/solver/pipelined.py) with the same per-system freeze discipline —
+    one psum pair per iteration instead of two, the configuration most
+    valuable over ICI.
     """
     nd = mesh.shape[axis_name]
     K = gamma.shape[-2]
@@ -187,31 +198,44 @@ def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
         right_halo = jax.lax.ppermute(x_loc[:, :1], axis_name, perm=bwd)
         x_dn = jnp.concatenate([left_halo, x_loc[:, :-1]], axis=1)
         x_up = jnp.concatenate([x_loc[:, 1:], right_halo], axis=1)
-        y = jnp.einsum('bknm,bkm->bkn', blocks_loc[:, :, 1], x_loc)
-        y = y + jnp.einsum('bknm,bkm->bkn', blocks_loc[:, :, 0], x_dn)
-        y = y + jnp.einsum('bknm,bkm->bkn', blocks_loc[:, :, 2], x_up)
+        # precision pinned: bf16-grade MXU defaults perturb iteration counts
+        prec = jax.lax.Precision.HIGHEST
+        y = jnp.einsum('bknm,bkm->bkn', blocks_loc[:, :, 1], x_loc,
+                       precision=prec)
+        y = y + jnp.einsum('bknm,bkm->bkn', blocks_loc[:, :, 0], x_dn,
+                           precision=prec)
+        y = y + jnp.einsum('bknm,bkm->bkn', blocks_loc[:, :, 2], x_up,
+                           precision=prec)
         return y
 
     def vdot(a, b):
         return jax.lax.psum(jnp.sum(a * b, axis=(-2, -1)), axis_name)
 
-    def solve_local(S_loc, P_loc, g_loc, l_loc):
+    def fleet_done(halted):
+        # Trip counts MUST be identical on every device of the mesh:
+        # the knot-axis ppermute/psum are global collectives, so a batch
+        # shard exiting early would deadlock the others. Agree on "done"
+        # across the batch axis.
+        done = jnp.all(halted)
+        if batch_axis_name is not None:
+            done = jax.lax.psum(done.astype(jnp.int32),
+                                batch_axis_name) >= mesh.shape[
+                                    batch_axis_name]
+        return done
+
+    def halt_mask(converged, eta):
+        # "halted" freezes a system: converged, or (with the divergence
+        # guard on) eta gone non-finite — the latter stays converged=False.
+        if stop_on_nonfinite:
+            return jnp.logical_or(converged, jnp.logical_not(
+                jnp.isfinite(eta)))
+        return converged
+
+    def solve_classic_local(S_loc, P_loc, g_loc, l_loc):
         tol = jnp.asarray(exit_tol, g_loc.dtype)
         B_loc = g_loc.shape[0]
         apply_pinv = ((lambda v: v) if identity_pinv
                       else (lambda v: mv(P_loc, v)))
-
-        def fleet_done(converged):
-            # Trip counts MUST be identical on every device of the mesh:
-            # the knot-axis ppermute/psum are global collectives, so a batch
-            # shard exiting early would deadlock the others. Agree on "done"
-            # across the batch axis.
-            done = jnp.all(converged)
-            if batch_axis_name is not None:
-                done = jax.lax.psum(done.astype(jnp.int32),
-                                    batch_axis_name) >= mesh.shape[
-                                        batch_axis_name]
-            return done
 
         r = g_loc - mv(S_loc, l_loc)
         rt = apply_pinv(r)
@@ -225,7 +249,7 @@ def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
 
         def body(c):
             lam, r, p, eta, iters, converged, step, _ = c
-            active = jnp.logical_not(converged)          # (B_loc,)
+            active = jnp.logical_not(halt_mask(converged, eta))  # (B_loc,)
             am = active[:, None, None]
             ups = mv(S_loc, p)
             alpha = eta / vdot(p, ups)
@@ -236,21 +260,109 @@ def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
             r = jnp.where(am, r - alpha[:, None, None] * ups, r)
             rt = apply_pinv(r)
             eta_new = jnp.where(active, vdot(r, rt), eta)
-            conv_new = jnp.abs(eta_new) < tol
+            conv_new = jnp.logical_and(active, jnp.abs(eta_new) < tol)
             beta = eta_new / eta
-            # freeze p (and eta via eta_new above) for converged systems
+            # freeze p (and eta via eta_new above) for halted systems
             p = jnp.where(am, rt + beta[:, None, None] * p, p)
             iters = iters + active.astype(jnp.int32)
             converged = jnp.logical_or(converged, conv_new)
             return (lam, r, p, eta_new, iters, converged, step + 1,
-                    fleet_done(converged))
+                    fleet_done(halt_mask(converged, eta_new)))
 
         conv0 = jnp.abs(eta) < tol
         init = (l_loc, r, p, eta, jnp.zeros((B_loc,), jnp.int32),
-                conv0, jnp.zeros((), jnp.int32), fleet_done(conv0))
+                conv0, jnp.zeros((), jnp.int32),
+                fleet_done(halt_mask(conv0, eta)))
         lam, r, p, eta, iters, converged, _, _ = jax.lax.while_loop(
             cond, body, init)
         return lam, iters, converged, eta
+
+    def solve_pipelined_local(S_loc, P_loc, g_loc, l_loc):
+        # Ghysels-Vanroose recurrences (tpcg/solver/pipelined.py) with
+        # per-system freeze masks; both dots share ONE psum round.
+        tol = jnp.asarray(exit_tol, g_loc.dtype)
+        B_loc = g_loc.shape[0]
+        apply_pinv = ((lambda v: v) if identity_pinv
+                      else (lambda v: mv(P_loc, v)))
+        smv = lambda v: mv(S_loc, v)
+        replace_every = 16
+
+        r = g_loc - smv(l_loc)
+        u = apply_pinv(r)
+        w = smv(u)
+        zeros = jnp.zeros_like(r)
+        eta0 = vdot(r, u)
+
+        def cond(c):
+            return jnp.logical_and(c[-2] < max_iter,
+                                   jnp.logical_not(c[-1]))
+
+        def body(c):
+            (x, r, u, w, z, q, s, p, eta_prev, alpha_prev, iters,
+             converged, step, _) = c
+            active = jnp.logical_not(halt_mask(converged, eta_prev))
+            am = active[:, None, None]
+            eta = jnp.where(active, vdot(r, u), eta_prev)
+            delta = vdot(w, u)
+            m = apply_pinv(w)
+            nn = smv(m)
+            first = step == 0  # iters == step while a system is active
+            beta = jnp.where(first, 0.0, eta / eta_prev)
+            alpha = jnp.where(
+                first, eta / delta,
+                eta / (delta - beta * eta / alpha_prev))
+            a3, b3 = alpha[:, None, None], beta[:, None, None]
+            z = jnp.where(am, nn + b3 * z, z)
+            q = jnp.where(am, m + b3 * q, q)
+            s = jnp.where(am, w + b3 * s, s)
+            p = jnp.where(am, u + b3 * p, p)
+            x = jnp.where(am, x + a3 * p, x)
+            r = jnp.where(am, r - a3 * s, r)
+            u = jnp.where(am, u - a3 * q, u)
+            w = jnp.where(am, w - a3 * z, w)
+            if replace_every:
+                def replace(args):
+                    x, p, *_ = args
+                    r = g_loc - smv(x)
+                    u = apply_pinv(r)
+                    w = smv(u)
+                    s = smv(p)
+                    q = apply_pinv(s)
+                    z = smv(q)
+                    return (x, p, r, u, w, s, q, z)
+
+                # scalar cadence (same trip count fleet-wide; halted
+                # systems' recomputed auxiliaries are unused)
+                do_replace = jnp.logical_and(
+                    step % replace_every == replace_every - 1, step > 0)
+                x, p, r, u, w, s, q, z = jax.lax.cond(
+                    do_replace, replace, lambda args: args,
+                    (x, p, r, u, w, s, q, z))
+            conv_new = jnp.logical_and(active, jnp.abs(eta) < tol)
+            converged = jnp.logical_or(converged, conv_new)
+            alpha_prev = jnp.where(active, alpha, alpha_prev)
+            iters = iters + active.astype(jnp.int32)
+            return (x, r, u, w, z, q, s, p, eta, alpha_prev, iters,
+                    converged, step + 1,
+                    fleet_done(halt_mask(converged, eta)))
+
+        conv0 = jnp.abs(eta0) < tol
+        init = (l_loc, r, u, w, zeros, zeros, zeros, zeros, eta0,
+                jnp.ones((B_loc,), g_loc.dtype),
+                jnp.zeros((B_loc,), jnp.int32), conv0,
+                jnp.zeros((), jnp.int32),
+                fleet_done(halt_mask(conv0, eta0)))
+        out = jax.lax.while_loop(cond, body, init)
+        x, eta, iters, converged = out[0], out[8], out[10], out[11]
+        return x, iters, converged, eta
+
+    if method == "pipelined":
+        solve_local = solve_pipelined_local
+    elif method == "classic":
+        solve_local = solve_classic_local
+    else:
+        raise ValueError(f"method must be 'classic' or 'pipelined', "
+                         f"got {method!r}")
 
     bspec = (P() if batch_axis_name is None else P(batch_axis_name))
     shard = P(*bspec, axis_name)

@@ -136,6 +136,7 @@ def pcg_solve_batched(S, gamma, lam0=None, *,
     if S.blocks.ndim != 5:
         raise ValueError(f"batched S.blocks must be (B, K, 3, n, n), got "
                          f"{S.blocks.shape}")
+    check_system(S, gamma, lam0)
     if Pinv is not None:
         Pinv = _as_bt(Pinv)
 
@@ -181,17 +182,29 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
     if gamma.ndim != 3:
         raise ValueError(f"multi-rhs gamma must be (R, K, n), got "
                          f"{gamma.shape}")
+    if config.preconditioner == "explicit":
+        # No Pinv parameter exists on this entry point, so 'explicit' could
+        # only ever end in precond.materialize demanding one.
+        raise ValueError(
+            "pcg_solve_multirhs does not accept a prebuilt Pinv; use "
+            "preconditioner='identity'/'block_jacobi'/'symmetric_stair', "
+            "or pcg_solve per right-hand side for the explicit-Pinv path")
+    if S.blocks.ndim != 4:
+        raise ValueError(f"multi-rhs S.blocks must be (K, 3, n, n), got "
+                         f"{S.blocks.shape}")
+    check_system(S, gamma[0], lam0[0])
+    if lam0.shape != gamma.shape:
+        raise ValueError(f"lam0 shape {lam0.shape} != gamma {gamma.shape}")
 
     explicit_pallas = backend == "pallas"
     backend = _pick_backend(backend, S.dtype)
-    if backend == "pallas" and (config.preconditioner == "explicit"
-                                or config.stop_on_nonfinite):
+    if backend == "pallas" and config.stop_on_nonfinite:
         if explicit_pallas:
             raise ValueError(
                 "the multi-RHS fused kernel supports classic/pipelined with "
-                "a non-explicit preconditioner and no stop_on_nonfinite; "
-                "adjust the config or use backend='jnp'/'auto' (which falls "
-                "back to the vmapped jnp solver)")
+                "no stop_on_nonfinite; adjust the config or use "
+                "backend='jnp'/'auto' (which falls back to the vmapped jnp "
+                "solver)")
         backend = "jnp"
     if backend == "pallas":
         from tpcg.ops.multirhs import pcg_pallas_multirhs

@@ -80,9 +80,11 @@ def csr_to_cbtd(row_ptr, col_ind, val, n: int, K: int) -> np.ndarray:
             val64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             n, K,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        if rc == 1:
+            raise ValueError("CSR entry outside the block-tridiagonal band")
         if rc != 0:
             raise ValueError(
-                "CSR entry outside the block-tridiagonal band "
+                "CSR column index out of range "
                 f"(native converter error code {rc})")
         return out.astype(np.asarray(val).dtype, copy=False)
     return _csr_to_cbtd_numpy(row_ptr, col_ind, val64, n, K).astype(

@@ -142,3 +142,60 @@ def test_fused_pipelined_explicit_pinv_interpret():
                              np.ones(K * n))
     np.testing.assert_allclose(np.asarray(res.lam).reshape(-1), x_true,
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("pre", [None, "block_jacobi", "symmetric_stair"])
+def test_fused_lean_matches_fast(pre):
+    """The lean (ref-sliced, fori-GJ) kernel variant must produce identical
+    iteration counts and matching solutions to the fast variant."""
+    from tpcg.ops.bdmv import to_lane_major, vec_to_lane_major
+    from tpcg.ops.fused_pcg import fused_pcg_lane_major
+
+    n, K = 5, 16
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(9), n, K,
+                               dtype=jnp.float32)
+    S_lm = to_lane_major(S.blocks)
+    g = vec_to_lane_major(jnp.ones((K, n), jnp.float32))
+    l0 = jnp.zeros_like(g)
+    kw = dict(exit_tol=1e-8, max_iter=200, precond=pre, interpret=True)
+    fast = fused_pcg_lane_major(S_lm, None, g, l0, lean=False, **kw)
+    lean = fused_pcg_lane_major(S_lm, None, g, l0, lean=True, **kw)
+    assert bool(fast[2]) and bool(lean[2])
+    assert int(fast[1]) == int(lean[1])
+    np.testing.assert_allclose(np.asarray(fast[0]), np.asarray(lean[0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_lean_explicit_pinv():
+    from tpcg import precond as precond_mod
+    from tpcg.ops.bdmv import to_lane_major, vec_to_lane_major
+    from tpcg.ops.fused_pcg import fused_pcg_lane_major
+
+    n, K = 4, 12
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(10), n, K,
+                               dtype=jnp.float32)
+    P_lm = to_lane_major(precond_mod.build(S, "block_jacobi").blocks)
+    S_lm = to_lane_major(S.blocks)
+    g = vec_to_lane_major(jnp.ones((K, n), jnp.float32))
+    l0 = jnp.zeros_like(g)
+    kw = dict(exit_tol=1e-8, max_iter=200, interpret=True)
+    fast = fused_pcg_lane_major(S_lm, P_lm, g, l0, lean=False, **kw)
+    lean = fused_pcg_lane_major(S_lm, P_lm, g, l0, lean=True, **kw)
+    assert int(fast[1]) == int(lean[1])
+    np.testing.assert_allclose(np.asarray(fast[0]), np.asarray(lean[0]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gj_inverse_fori_matches_unrolled(rng):
+    from tpcg.ops.smallinv import gj_inverse_lane_major
+
+    n, K = 6, 8
+    A = np.asarray(rng.standard_normal((n, n, K)), np.float32)
+    A = A + np.transpose(A, (1, 0, 2)) + 4 * np.eye(n, dtype=np.float32)[:, :, None]
+    Aj = jnp.asarray(A)
+    inv_u = np.asarray(gj_inverse_lane_major(Aj, n, K, unroll=True))
+    inv_f = np.asarray(gj_inverse_lane_major(Aj, n, K, unroll=False))
+    np.testing.assert_allclose(inv_u, inv_f, rtol=1e-4, atol=1e-5)
+    for k in range(K):
+        np.testing.assert_allclose(inv_f[:, :, k], np.linalg.inv(A[:, :, k]),
+                                   rtol=1e-3, atol=1e-4)

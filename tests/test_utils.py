@@ -38,17 +38,28 @@ def test_symmetrize(rng):
 
 
 def test_feasibility_accepts_reference_scales():
-    # K=1024 at n=14 verified running on hardware (~8.6 MiB scoped vmem)
-    for n, K in [(2, 3), (12, 64), (14, 128), (14, 512), (14, 1024)]:
+    # round-2 kernel: explicit-Pinv lean verified OK on hardware at K=2048
+    for n, K in [(2, 3), (12, 64), (14, 128), (14, 512), (14, 1024),
+                 (14, 2048)]:
         feasibility.check_fused_fits(n, K)  # must not raise
 
 
 def test_feasibility_rejects_huge_and_names_limit():
-    # K=2048 at n=14 verified OOM on hardware (Mosaic: 17.25 MiB > 16 MiB)
+    # explicit-Pinv lean verified OOM on hardware at K=3072 (19.06 MiB)
     with pytest.raises(ValueError, match="Max feasible knot_points"):
-        feasibility.check_fused_fits(14, 2048)
+        feasibility.check_fused_fits(14, 3072)
     with pytest.raises(ValueError, match="Max feasible knot_points"):
         feasibility.check_fused_fits(14, 200_000)
+
+
+def test_pick_fused_variant_tiers():
+    # small shapes -> fast; near the ceiling -> lean; beyond -> raises
+    assert feasibility.pick_fused_variant(14, 128,
+                                          precond="symmetric_stair") is False
+    assert feasibility.pick_fused_variant(14, 1536,
+                                          precond="symmetric_stair") is True
+    with pytest.raises(ValueError, match="Max feasible"):
+        feasibility.pick_fused_variant(14, 4096, precond="symmetric_stair")
 
 
 def test_chain_solves_runs_and_depends():

@@ -34,13 +34,43 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpcg.ops.bdmv import bdmv_lane_major
+from tpcg.ops.bdmv import (_lane_shift_down, _lane_shift_up,
+                           bdmv_lane_major)
+
+
+def _bdmv_from_ref(S_ref, v, n, K):
+    """Lane-major bdmv reading each diagonal page straight off the VMEM ref.
+
+    Loading the whole ``(3, n, n, K)`` S as one value (``S_ref[...]``) keeps
+    a full S-sized copy live on the kernel stack for the lifetime of the
+    while_loop — measured on chip as ~1x S of scoped VMEM on top of the
+    operand buffer. Slice-at-use keeps only one ``(n, n, K)`` page live at a
+    time, which is what sets the max feasible K."""
+    xs = (_lane_shift_down(v, n, K), v, _lane_shift_up(v, n, K))
+    acc = jnp.zeros((n, K), v.dtype)
+    for d in range(3):
+        acc = acc + jnp.sum(S_ref[d] * xs[d][:, None, :], axis=0)
+    return acc
+
+
+def _apply_stair_from_ref(S_ref, Dinv_t, v, n, K):
+    """Factored symmetric-stair apply (tpcg/ops/smallinv.py:
+    apply_symmetric_stair_factored) with the L/R pages read off the ref at
+    use instead of captured as values."""
+    from tpcg.ops.smallinv import blockdiag_mv_lane_major
+
+    w = blockdiag_mv_lane_major(Dinv_t, v, n, K)
+    w_dn = _lane_shift_down(w, n, K)
+    w_up = _lane_shift_up(w, n, K)
+    t = v - (jnp.sum(S_ref[0] * w_dn[:, None, :], axis=0) +
+             jnp.sum(S_ref[2] * w_up[:, None, :], axis=0))
+    return blockdiag_mv_lane_major(Dinv_t, t, n, K)
 
 
 def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                 lam_ref, iters_ref, conv_ref, eta_ref,
                 *, n, K, max_iter, precond, stop_on_nonfinite=False,
-                method="classic", out_idx=0):
+                method="classic", out_idx=0, lean=False):
     """Kernel body.
 
     ``precond`` selects the preconditioner strategy:
@@ -53,35 +83,53 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         launch, the full fusion of what MPCGPU does in separate
         assembly kernels before calling the reference solver.
 
+    ``lean`` trades per-iteration latency for VMEM footprint: False loads
+    S (and Pinv) as whole values once and unrolls the Gauss-Jordan — the
+    fast form (headline scales); True re-slices matrix pages off the VMEM
+    refs at every use and runs Gauss-Jordan as a fori_loop — measured
+    ~1.4x S less scoped VMEM (tpcg/utils/feasibility.py), selected by the
+    backend when the fast form would overflow.
+
     Scalar diagnostics are stored at ``out_idx`` in their SMEM refs (0 for
     the single-system kernel; ``program_id`` for the grid-batched one)."""
-    from tpcg.ops.smallinv import blockdiag_mv_lane_major
+    from tpcg.ops.smallinv import (apply_symmetric_stair_factored,
+                                   blockdiag_mv_lane_major,
+                                   gj_inverse_lane_major)
 
-    S = S_ref[:, :, :, :]
     gamma = gamma_ref[:, :]
     lam0 = lam0_ref[:, :]
     tol = tol_ref[0]
 
+    if lean:
+        mv = lambda v: _bdmv_from_ref(S_ref, v, n, K)
+        diag = lambda: S_ref[1]
+        stair = lambda Dinv_t, v: _apply_stair_from_ref(
+            S_ref, Dinv_t, v, n, K)
+        pinv_mv = lambda v: _bdmv_from_ref(pinv_ref, v, n, K)
+    else:
+        S = S_ref[:, :, :, :]
+        mv = lambda v: bdmv_lane_major(S, v, n=n, K=K)
+        diag = lambda: S[1]
+        stair = lambda Dinv_t, v: apply_symmetric_stair_factored(
+            S, Dinv_t, v, n, K)
+        if precond == "explicit":
+            Pinv = pinv_ref[:, :, :, :]
+            pinv_mv = lambda v: bdmv_lane_major(Pinv, v, n=n, K=K)
+
     if precond == "identity":
-        apply_pinv = lambda v: v
+        apply_pinv = lambda v: v  # pinv_ref is None — no operand at all
     elif precond == "explicit":
-        Pinv = pinv_ref[:, :, :, :]
-        apply_pinv = lambda v: bdmv_lane_major(Pinv, v, n=n, K=K)
+        apply_pinv = pinv_mv
     elif precond == "block_jacobi":
-        from tpcg.ops.smallinv import gj_inverse_lane_major
-        Dinv_t = gj_inverse_lane_major(S[1], n, K)
+        Dinv_t = gj_inverse_lane_major(diag(), n, K, unroll=not lean)
         apply_pinv = lambda v: blockdiag_mv_lane_major(Dinv_t, v, n, K)
     elif precond == "symmetric_stair":
-        # factored apply: only Dinv lives in VMEM; no setup matmuls
-        from tpcg.ops.smallinv import (apply_symmetric_stair_factored,
-                                       gj_inverse_lane_major)
-        Dinv_t = gj_inverse_lane_major(S[1], n, K)
-        apply_pinv = lambda v: apply_symmetric_stair_factored(
-            S, Dinv_t, v, n, K)
+        # factored apply: only Dinv lives across the loop; no setup matmuls
+        Dinv_t = gj_inverse_lane_major(diag(), n, K, unroll=not lean)
+        apply_pinv = lambda v: stair(Dinv_t, v)
     else:
         raise ValueError(f"bad precond {precond!r}")
 
-    mv = lambda v: bdmv_lane_major(S, v, n=n, K=K)
     vdot = lambda a, b: jnp.sum(a * b)
 
     if method == "pipelined":
@@ -139,14 +187,21 @@ def _scalar_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
+def _pcg_kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref, *out_refs, **kw):
+    """Signature without the Pinv operand, for the identity / in-kernel-build
+    paths: passing S twice as a placeholder DMA'd a second full S into VMEM
+    the kernel never read (and the feasibility model had to charge for it)."""
+    _pcg_kernel(tol_ref, S_ref, None, gamma_ref, lam0_ref, *out_refs, **kw)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond",
                                     "stop_on_nonfinite", "method",
-                                    "interpret"))
+                                    "lean", "interpret"))
 def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
                          exit_tol, max_iter: int, precond: str = None,
                          stop_on_nonfinite: bool = False,
-                         method: str = "classic",
+                         method: str = "classic", lean: bool = False,
                          interpret: bool = False):
     """Run the fused solve on lane-major inputs.
 
@@ -168,15 +223,20 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
         precond = "identity" if Pinv_lm is None else "explicit"
     if precond != "explicit" and Pinv_lm is not None:
         raise ValueError(f"Pinv_lm must be None with precond={precond!r}")
-    if Pinv_lm is None:
-        Pinv_lm = S_lm  # placeholder operand; unused by the kernel
 
     tol = jnp.asarray([exit_tol], dtype=dtype)
 
-    kernel = functools.partial(_pcg_kernel, n=n, K=K, max_iter=max_iter,
-                               precond=precond, method=method,
-                               stop_on_nonfinite=stop_on_nonfinite)
+    kw = dict(n=n, K=K, max_iter=max_iter, precond=precond, method=method,
+              stop_on_nonfinite=stop_on_nonfinite, lean=lean)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if precond == "explicit":
+        kernel = functools.partial(_pcg_kernel, **kw)
+        in_specs = [_scalar_spec(), vmem, vmem, vmem, vmem]
+        operands = (tol, S_lm, Pinv_lm, gamma_lm, lam0_lm)
+    else:
+        kernel = functools.partial(_pcg_kernel_nopinv, **kw)
+        in_specs = [_scalar_spec(), vmem, vmem, vmem]
+        operands = (tol, S_lm, gamma_lm, lam0_lm)
     lam, iters, conv, eta = pl.pallas_call(
         kernel,
         out_shape=(
@@ -185,17 +245,18 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
             jax.ShapeDtypeStruct((1,), jnp.int32),
             jax.ShapeDtypeStruct((1,), dtype),
         ),
-        in_specs=[_scalar_spec(), vmem, vmem, vmem, vmem],
+        in_specs=in_specs,
         out_specs=(vmem, _scalar_spec(), _scalar_spec(), _scalar_spec()),
         interpret=interpret,
-    )(tol, S_lm, Pinv_lm, gamma_lm, lam0_lm)
+    )(*operands)
     return lam, iters[0], conv[0] != 0, eta[0]
 
 
 def _pcg_batched_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                         lam_ref, iters_ref, conv_ref, eta_ref,
                         *, n, K, max_iter, precond,
-                        stop_on_nonfinite=False, method="classic"):
+                        stop_on_nonfinite=False, method="classic",
+                        lean=False):
     """Grid-over-batch variant: one grid step = one full solve. Pallas grid
     steps run sequentially on a core, mirroring how independent MPC systems
     would queue on the reference's single GPU — but with S/Pinv block DMA
@@ -209,18 +270,33 @@ def _pcg_batched_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                 lam_ref.at[0], iters_ref, conv_ref, eta_ref,
                 n=n, K=K, max_iter=max_iter, precond=precond,
                 stop_on_nonfinite=stop_on_nonfinite, method=method,
-                out_idx=b)
+                out_idx=b, lean=lean)
+
+
+def _pcg_batched_kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref,
+                               lam_ref, iters_ref, conv_ref, eta_ref,
+                               *, n, K, max_iter, precond,
+                               stop_on_nonfinite=False, method="classic",
+                               lean=False):
+    b = pl.program_id(0)
+    _pcg_kernel(tol_ref,
+                S_ref.at[0], None, gamma_ref.at[0], lam0_ref.at[0],
+                lam_ref.at[0], iters_ref, conv_ref, eta_ref,
+                n=n, K=K, max_iter=max_iter, precond=precond,
+                stop_on_nonfinite=stop_on_nonfinite, method=method,
+                out_idx=b, lean=lean)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond",
                                     "stop_on_nonfinite", "method",
-                                    "interpret"))
+                                    "lean", "interpret"))
 def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
                                  exit_tol, max_iter: int,
                                  precond: str = None,
                                  stop_on_nonfinite: bool = False,
                                  method: str = "classic",
+                                 lean: bool = False,
                                  interpret: bool = False):
     """Batched fused solve: leading batch axis B on all operands.
 
@@ -233,20 +309,27 @@ def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
         precond = "identity" if Pinv_lm is None else "explicit"
     if precond != "explicit" and Pinv_lm is not None:
         raise ValueError(f"Pinv_lm must be None with precond={precond!r}")
-    if Pinv_lm is None:
-        Pinv_lm = S_lm
 
     tol = jnp.asarray([exit_tol], dtype=dtype)
-    kernel = functools.partial(_pcg_batched_kernel, n=n, K=K,
-                               max_iter=max_iter, precond=precond,
-                               stop_on_nonfinite=stop_on_nonfinite,
-                               method=method)
+    kw = dict(n=n, K=K, max_iter=max_iter, precond=precond,
+              stop_on_nonfinite=stop_on_nonfinite, method=method, lean=lean)
 
     def block(shape):
         return pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),
                             memory_space=pltpu.VMEM)
 
     smem_out = pl.BlockSpec(memory_space=pltpu.SMEM)  # full (B,), one slot/step
+    if precond == "explicit":
+        kernel = functools.partial(_pcg_batched_kernel, **kw)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    block((3, n, n, K)), block((3, n, n, K)),
+                    block((n, K)), block((n, K))]
+        operands = (tol, S_lm, Pinv_lm, gamma_lm, lam0_lm)
+    else:
+        kernel = functools.partial(_pcg_batched_kernel_nopinv, **kw)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    block((3, n, n, K)), block((n, K)), block((n, K))]
+        operands = (tol, S_lm, gamma_lm, lam0_lm)
     lam, iters, conv, eta = pl.pallas_call(
         kernel,
         grid=(B,),
@@ -256,10 +339,8 @@ def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
             jax.ShapeDtypeStruct((B,), jnp.int32),
             jax.ShapeDtypeStruct((B,), dtype),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  block((3, n, n, K)), block((3, n, n, K)),
-                  block((n, K)), block((n, K))],
+        in_specs=in_specs,
         out_specs=(block((n, K)), smem_out, smem_out, smem_out),
         interpret=interpret,
-    )(tol, S_lm, Pinv_lm, gamma_lm, lam0_lm)
+    )(*operands)
     return lam, iters, conv != 0, eta

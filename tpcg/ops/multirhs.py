@@ -28,36 +28,46 @@ from tpcg.ops.bdmv import bdmv_lane_major, to_lane_major
 from tpcg.types import PCGResult
 
 
-def _mv_multi(S_lm, X, n, K, R):
-    """bdmv applied to R stacked lane-major vectors ``X (R, n, K)``."""
-    return jnp.stack([bdmv_lane_major(S_lm, X[i], n=n, K=K)
-                      for i in range(R)])
-
-
 def _multirhs_kernel(tol_ref, S_ref, gamma_ref, lam0_ref,
                      lam_ref, iters_ref, conv_ref, eta_ref,
-                     *, n, K, R, max_iter, precond, method="classic"):
+                     *, n, K, R, max_iter, precond, method="classic",
+                     lean=False):
+    from tpcg.ops.fused_pcg import _apply_stair_from_ref, _bdmv_from_ref
     from tpcg.ops.smallinv import (apply_symmetric_stair_factored,
                                    blockdiag_mv_lane_major,
                                    gj_inverse_lane_major)
 
-    S = S_ref[...]
     gamma = gamma_ref[...]
     lam0 = lam0_ref[...]
     tol = tol_ref[0]
 
+    # lean: matrix pages sliced off the ref at use + fori Gauss-Jordan
+    # (lower scoped-VMEM peak, slower per iteration) — same tradeoff as
+    # tpcg/ops/fused_pcg.py, selected by the caller near the VMEM ceiling
+    if lean:
+        mv1 = lambda v: _bdmv_from_ref(S_ref, v, n, K)
+        diag = lambda: S_ref[1]
+        stair = lambda Dinv_t, v: _apply_stair_from_ref(
+            S_ref, Dinv_t, v, n, K)
+    else:
+        S = S_ref[...]
+        mv1 = lambda v: bdmv_lane_major(S, v, n=n, K=K)
+        diag = lambda: S[1]
+        stair = lambda Dinv_t, v: apply_symmetric_stair_factored(
+            S, Dinv_t, v, n, K)
+
     if precond == "identity":
         apply1 = lambda v: v
     elif precond == "block_jacobi":
-        Dinv_t = gj_inverse_lane_major(S[1], n, K)
+        Dinv_t = gj_inverse_lane_major(diag(), n, K, unroll=not lean)
         apply1 = lambda v: blockdiag_mv_lane_major(Dinv_t, v, n, K)
     elif precond == "symmetric_stair":
-        Dinv_t = gj_inverse_lane_major(S[1], n, K)
-        apply1 = lambda v: apply_symmetric_stair_factored(S, Dinv_t, v, n, K)
+        Dinv_t = gj_inverse_lane_major(diag(), n, K, unroll=not lean)
+        apply1 = lambda v: stair(Dinv_t, v)
     else:
         raise ValueError(f"bad precond {precond!r}")
 
-    mv = lambda X: _mv_multi(S, X, n, K, R)
+    mv = lambda X: jnp.stack([mv1(X[i]) for i in range(R)])
     apply_pinv = lambda X: jnp.stack([apply1(X[i]) for i in range(R)])
     # per-rhs scalars are kept 2-D (R, 1), and NO rank-1 intermediate is
     # ever formed: Mosaic CHECK-fails (layout.h: arr.size() >=
@@ -194,10 +204,10 @@ def _multirhs_pipelined_loop(mv, apply_pinv, vdot, gamma, lam0, tol,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "precond",
-                                             "method", "interpret"))
+                                             "method", "lean", "interpret"))
 def pcg_pallas_multirhs(S_blocks, gamma, lam0, *, exit_tol, max_iter: int,
                         precond: str = "symmetric_stair",
-                        method: str = "classic",
+                        method: str = "classic", lean: bool = False,
                         interpret: bool = False) -> PCGResult:
     """Solve ``S lam_i = gamma_i`` for R right-hand sides jointly.
 
@@ -207,8 +217,10 @@ def pcg_pallas_multirhs(S_blocks, gamma, lam0, *, exit_tol, max_iter: int,
     in-kernel from S."""
     R, K, n = gamma.shape
     dtype = S_blocks.dtype
-    from tpcg.utils.feasibility import check_fused_fits
-    check_fused_fits(n, K, dtype, precond=precond, rhs=R, method=method)
+    from tpcg.utils.feasibility import pick_fused_variant
+    if not lean:  # honor an explicit lean=True; else pick by VMEM model
+        lean = pick_fused_variant(n, K, dtype, precond=precond, rhs=R,
+                                  method=method)
 
     S_lm = to_lane_major(S_blocks)
     g_lm = jnp.swapaxes(gamma, -1, -2)      # (R, n, K)
@@ -216,7 +228,7 @@ def pcg_pallas_multirhs(S_blocks, gamma, lam0, *, exit_tol, max_iter: int,
     tol = jnp.asarray([exit_tol], dtype)
     kernel = functools.partial(_multirhs_kernel, n=n, K=K, R=R,
                                max_iter=max_iter, precond=precond,
-                               method=method)
+                               method=method, lean=lean)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     lam, iters, conv, eta = pl.pallas_call(

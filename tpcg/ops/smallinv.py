@@ -24,31 +24,68 @@ import jax
 import jax.numpy as jnp
 
 
-def gj_inverse_lane_major(M, n: int, K: int):
+def gj_inverse_lane_major(M, n: int, K: int, unroll: bool = True):
     """Invert K matrices stored lane-major: ``M (n, n, K)`` with
     ``M[r, c, k]`` = entry (r, c) of matrix k. Returns ``(n, n, K)``.
 
-    Unrolled Gauss-Jordan WITHOUT pivoting — intended for the SPD diagonal
-    blocks of trajectory-opt KKT systems (same assumption the symmetric-
-    stair/block-Jacobi preconditioners make; a zero pivot would mean a
-    singular diagonal block and a meaningless preconditioner anyway).
-    ~6n ops on (n, n, K) pages total.
+    Gauss-Jordan WITHOUT pivoting — intended for the SPD diagonal blocks of
+    trajectory-opt KKT systems (same assumption the symmetric-stair/
+    block-Jacobi preconditioners make; a zero pivot would mean a singular
+    diagonal block and a meaningless preconditioner anyway). ~6n ops on
+    (n, n, K) pages total.
+
+    ``unroll=True`` (default): Python-unrolled steps with static row
+    indexing — fastest, but inside a Pallas kernel the ~n generations of
+    (n, n, K) temporaries inflate the scoped-VMEM peak (measured on chip).
+    ``unroll=False``: a ``fori_loop`` with a carried (M, inv) pair forces
+    stack-slot reuse — the lean form the fused kernel selects near the VMEM
+    ceiling; row selects become iota==i masks (no dynamic-slice scatter,
+    which Mosaic rejects).
     """
+    if unroll:
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 0)
+        inv = jnp.broadcast_to(
+            jnp.eye(n, dtype=M.dtype)[:, :, None], (n, n, K)).astype(M.dtype)
+        for i in range(n):
+            is_row_i = row_ids == i                   # (n, n, K) mask
+            inv_piv = 1.0 / M[i, i, :]                # (K,)
+            scale = inv_piv[None, None, :]
+            M = jnp.where(is_row_i, M * scale, M)
+            inv = jnp.where(is_row_i, inv * scale, inv)
+            # eliminate column i from every other row
+            col = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (n, K), 0) == i, 0.0,
+                M[:, i, :])                           # (n, K), row i zeroed
+            M = M - col[:, None, :] * M[i, :, :][None, :, :]
+            inv = inv - col[:, None, :] * inv[i, :, :][None, :, :]
+        return inv
+
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 0)
-    inv = jnp.broadcast_to(
+    col_ids3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 1)
+    inv0 = jnp.broadcast_to(
         jnp.eye(n, dtype=M.dtype)[:, :, None], (n, n, K)).astype(M.dtype)
-    for i in range(n):
+
+    def step(i, carry):
+        M, inv = carry
         is_row_i = row_ids == i                       # (n, n, K) mask
-        inv_piv = 1.0 / M[i, i, :]                    # (K,)
-        scale = inv_piv[None, None, :]
+        # pivot M[i, i, :] by masked reduction (no scalar dynamic indexing)
+        diag_mask = jnp.logical_and(is_row_i, col_ids3 == i)
+        piv = jnp.sum(jnp.where(diag_mask, M, 0.0), axis=(0, 1))   # (K,)
+        scale = (1.0 / piv)[None, None, :]
         M = jnp.where(is_row_i, M * scale, M)
         inv = jnp.where(is_row_i, inv * scale, inv)
-        # eliminate column i from every other row
-        col = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (n, K), 0) == i, 0.0,
-            M[:, i, :])                               # (n, K), row i zeroed
-        M = M - col[:, None, :] * M[i, :, :][None, :, :]
-        inv = inv - col[:, None, :] * inv[i, :, :][None, :, :]
+        # row i of M/inv as (n, K) pages, again by masked reduction
+        Mi = jnp.sum(jnp.where(is_row_i, M, 0.0), axis=0)          # (n, K)
+        invi = jnp.sum(jnp.where(is_row_i, inv, 0.0), axis=0)
+        # column i of M as an (n, K) page, with row i zeroed
+        col_full = jnp.sum(jnp.where(col_ids3 == i, M, 0.0), axis=1)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, K), 0)
+        col = jnp.where(col_ids == i, 0.0, col_full)
+        M = M - col[:, None, :] * Mi[None, :, :]
+        inv = inv - col[:, None, :] * invi[None, :, :]
+        return (M, inv)
+
+    _, inv = jax.lax.fori_loop(0, n, step, (M, inv0))
     return inv
 
 

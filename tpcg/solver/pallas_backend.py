@@ -31,10 +31,10 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     which case Phi^-1 is CONSTRUCTED inside the kernel from S (one launch
     for build + solve).
     """
-    from tpcg.utils.feasibility import check_fused_fits
-    check_fused_fits(S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
-                     identity_pinv=Pinv_blocks is None, precond=precond,
-                     method=method)
+    from tpcg.utils.feasibility import pick_fused_variant
+    lean = pick_fused_variant(
+        S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
+        identity_pinv=Pinv_blocks is None, precond=precond, method=method)
     S_lm = to_lane_major(S_blocks)
     Pinv_lm = None if Pinv_blocks is None else to_lane_major(
         Pinv_blocks)
@@ -43,7 +43,8 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     lam_lm, iters, conv, eta = fused_pcg_lane_major(
         S_lm, Pinv_lm, gamma_lm, lam0_lm, exit_tol=exit_tol,
         max_iter=max_iter, precond=precond, method=method,
-        stop_on_nonfinite=stop_on_nonfinite, interpret=interpret)
+        stop_on_nonfinite=stop_on_nonfinite, lean=lean,
+        interpret=interpret)
     return PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
                      converged=conv, eta=eta)
 
@@ -59,10 +60,10 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                        interpret: bool = False) -> PCGResult:
     """Batched fused solve: ``S_blocks (B, K, 3, n, n)``, vectors
     ``(B, K, n)``. VMEM holds one system per grid step."""
-    from tpcg.utils.feasibility import check_fused_fits
-    check_fused_fits(S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
-                     identity_pinv=Pinv_blocks is None, precond=precond,
-                     method=method)
+    from tpcg.utils.feasibility import pick_fused_variant
+    lean = pick_fused_variant(
+        S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
+        identity_pinv=Pinv_blocks is None, precond=precond, method=method)
     to_lm = jax.vmap(to_lane_major)
     S_lm = to_lm(S_blocks)
     Pinv_lm = None if Pinv_blocks is None else to_lm(Pinv_blocks)
@@ -71,6 +72,7 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     lam_lm, iters, conv, eta = fused_pcg_lane_major_batched(
         S_lm, Pinv_lm, gamma_lm, lam0_lm, exit_tol=exit_tol,
         max_iter=max_iter, precond=precond, method=method,
-        stop_on_nonfinite=stop_on_nonfinite, interpret=interpret)
+        stop_on_nonfinite=stop_on_nonfinite, lean=lean,
+        interpret=interpret)
     return PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
                      converged=conv, eta=eta)

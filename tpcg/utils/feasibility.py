@@ -26,32 +26,55 @@ VMEM_HEADROOM = 15 / 16
 def fused_vmem_bytes(state_size: int, knot_points: int, dtype=jnp.float32,
                      identity_pinv: bool = False,
                      precond: str = None, rhs: int = 1,
-                     method: str = "classic") -> int:
+                     method: str = "classic", lean: bool = False) -> int:
     """Estimated VMEM working set of the fused kernel: matrices in
     lane-major layout plus ~10 (n, K) vector pages (gamma/lam0 inputs, lam
     output, r/p/r_tilde/upsilon/shift temporaries in the while carry), state
     axis padded to the f32 sublane tile (8), lanes to 128.
 
     Matrix-term factors are calibrated against Mosaic's actual scoped-vmem
-    accounting on hardware (n=14):
-      * explicit Pinv:     1.6 x (S + Pinv)   (K=2048 observed 17.25 MiB on
-                           11 MiB of raw operands; K=1024 runs at 8.6 MiB)
-      * in-kernel build:   3.3 x S            (K=2048 observed 19.05 MiB on
-                           5.5 MiB raw S — Gauss-Jordan temporaries + value
-                           copies)
-      * identity:          2.2 x S
+    accounting on hardware (n=14, all with no placeholder-Pinv operand).
+
+    Fast variant (``lean=False``: S/Pinv loaded as whole values once,
+    unrolled Gauss-Jordan — lowest latency):
+      * identity:          1.91 x S measured (K=3072 needs 17.74 MiB)
+      * explicit Pinv:     3.93 x S measured (K=2048 needs 22.97 MiB)
+      * block_jacobi:      2.70 x S measured (K=2048 needs 16.16 MiB)
+      * symmetric_stair:   4.22 x S measured (K=2048 needs 24.52 MiB)
+
+    Lean variant (``lean=True``: matrix pages sliced off the refs at use,
+    fori_loop Gauss-Jordan — ~1.4x S smaller peak, slower per iteration;
+    the backend picks it automatically when fast would overflow):
+      * identity:          1.44 x S measured (K=4096 needs 18.46 MiB)
+      * explicit Pinv:     2.13 x S measured (K=3072 needs 19.06 MiB)
+      * in-kernel build:   2.83 x S measured (K=2048 needs ~16.9 MiB)
+
+    Factors are the exact measured slopes; the safety margin is the
+    1/16 VMEM_HEADROOM reserve (double-padding rejected configs the chip
+    demonstrably compiles, e.g. lean symmetric_stair at K=1792).
     """
     n, K = state_size, knot_points
     itemsize = jnp.dtype(dtype).itemsize
     n_pad = -(-n // 8) * 8
     K_pad = -(-K // 128) * 128
     S_bytes = 3 * n * n_pad * K_pad * itemsize
-    if precond in ("block_jacobi", "symmetric_stair"):
-        mat_bytes = 3.3 * S_bytes
-    elif identity_pinv or precond == "identity":
-        mat_bytes = 2.2 * S_bytes
+    if lean:
+        if precond in ("block_jacobi", "symmetric_stair"):
+            factor = 2.83
+        elif identity_pinv or precond == "identity":
+            factor = 1.44
+        else:
+            factor = 2.13
     else:
-        mat_bytes = 1.6 * 2 * S_bytes
+        if precond == "symmetric_stair":
+            factor = 4.22
+        elif precond == "block_jacobi":
+            factor = 2.70
+        elif identity_pinv or precond == "identity":
+            factor = 1.91
+        else:
+            factor = 3.93
+    mat_bytes = factor * S_bytes
     # classic carry: lam/r/p + gamma/lam0/out + rt/ups/shift temps ~ 10
     # pages; pipelined carries x/r/u/w/z/q/s/p + m/nn temps ~ 14
     pages = 14 if method == "pipelined" else 10
@@ -59,14 +82,29 @@ def fused_vmem_bytes(state_size: int, knot_points: int, dtype=jnp.float32,
     return int(mat_bytes) + vec_bytes
 
 
+def pick_fused_variant(state_size: int, knot_points: int, dtype=jnp.float32,
+                       identity_pinv: bool = False, precond: str = None,
+                       rhs: int = 1, method: str = "classic") -> bool:
+    """Returns the ``lean`` flag for the fused kernel: False (fast) when the
+    fast variant's working set fits VMEM, True when only the lean one does.
+    Raises ValueError (via :func:`check_fused_fits`) when neither fits."""
+    budget = int(VMEM_BYTES * VMEM_HEADROOM)
+    if fused_vmem_bytes(state_size, knot_points, dtype, identity_pinv,
+                        precond, rhs, method, lean=False) <= budget:
+        return False
+    check_fused_fits(state_size, knot_points, dtype, identity_pinv,
+                     precond, rhs, method, lean=True)
+    return True
+
+
 def check_fused_fits(state_size: int, knot_points: int, dtype=jnp.float32,
                      identity_pinv: bool = False,
                      precond: str = None, rhs: int = 1,
-                     method: str = "classic") -> None:
+                     method: str = "classic", lean: bool = True) -> None:
     """Raise ValueError (with the max feasible knot_points) if the fused
-    kernel's working set exceeds VMEM."""
+    kernel's working set exceeds VMEM even in its leanest variant."""
     need = fused_vmem_bytes(state_size, knot_points, dtype, identity_pinv,
-                            precond, rhs, method)
+                            precond, rhs, method, lean)
     budget = int(VMEM_BYTES * VMEM_HEADROOM)
     if need > budget:
         # binary-search the max K that fits
@@ -75,7 +113,7 @@ def check_fused_fits(state_size: int, knot_points: int, dtype=jnp.float32,
             mid = (lo + hi + 1) // 2
             if fused_vmem_bytes(state_size, mid, dtype,
                                 identity_pinv, precond, rhs,
-                                method) <= budget:
+                                method, lean) <= budget:
                 lo = mid
             else:
                 hi = mid - 1

@@ -134,13 +134,18 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
 
     if method == "pipelined":
         from tpcg.solver.pipelined import pipelined_pcg_body
+        # (1,1)-shaped dots: alpha/beta stay vector values, skipping the
+        # vector->scalar->vector round trip per sync point (measured ~0.9 us
+        # per solve at iiwa14 scale; the classic loop does NOT benefit —
+        # measured slightly slower — so it keeps scalar dots)
+        vdot11 = lambda a, b: jnp.sum(a * b, keepdims=True).reshape(1, 1)
         lam, iters, converged, eta = pipelined_pcg_body(
-            mv, apply_pinv, vdot, gamma, lam0, tol, max_iter,
+            mv, apply_pinv, vdot11, gamma, lam0, tol, max_iter,
             stop_on_nonfinite)
         lam_ref[:, :] = lam
         iters_ref[out_idx] = iters
         conv_ref[out_idx] = converged.astype(jnp.int32)
-        eta_ref[out_idx] = eta
+        eta_ref[out_idx] = eta[0, 0]
         return
 
     # --- classic method (the reference's exact loop) ---

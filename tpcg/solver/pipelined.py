@@ -85,11 +85,16 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
     zeros = jnp.zeros_like(r)
     one = jnp.ones((), gamma.dtype)
 
+    # ``vdot`` may return a scalar (jnp / sharded backends) or a (1, 1)
+    # array (the fused Pallas kernel: keeping dots as vector values skips a
+    # vector->scalar->vector round trip through the scalar core, measured
+    # ~0.9 us/solve at iiwa14 scale) — scalar-context reductions below
+    # normalize with jnp.all.
     def cond(c: _Carry):
         go = jnp.logical_and(c.iters < max_iter,
                              jnp.logical_not(c.converged))
         if stop_on_nonfinite:
-            go = jnp.logical_and(go, jnp.isfinite(c.eta_prev))
+            go = jnp.logical_and(go, jnp.all(jnp.isfinite(c.eta_prev)))
         return go
 
     def body(c: _Carry):
@@ -121,14 +126,23 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
                 z = mv(q)
                 return (x, p, r, u, w, s, q, z)
 
+            # Guard: only replace while eta is far from the exit tolerance.
+            # Measured on chip (iiwa14 n=14): an UNGUARDED replacement firing
+            # near convergence (cadence 32 -> first fire at iter 31, eta
+            # ~1e-5) stagnates the solve at BOTH K=128 and K=512 — the
+            # recomputed r = gamma - S x sits at the fp32 noise floor there,
+            # and the recurrence inherits garbage eta ratios. Early firings
+            # (eta large) are exactly the ones that fix the K=512 drift.
             do_replace = jnp.logical_and(c.iters % replace_every ==
                                          replace_every - 1, c.iters > 0)
+            do_replace = jnp.logical_and(
+                do_replace, jnp.all(jnp.abs(eta) > 1000.0 * exit_tol))
             x, p, r, u, w, s, q, z = jax.lax.cond(
                 do_replace, replace, lambda args: args,
                 (x, p, r, u, w, s, q, z))
         # exit on the NEXT eta (computed top of next pass) — test the
         # current one here so the reported count includes this pass
-        converged = jnp.abs(eta) < exit_tol
+        converged = jnp.all(jnp.abs(eta) < exit_tol)
         return _Carry(x, r, u, w, z, q, s, p, eta, alpha,
                       c.iters + 1, converged)
 
@@ -137,8 +151,9 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
     # computing alpha = 0/0
     eta0 = vdot(r, u)
     init = _Carry(lam0, r, u, w, zeros, zeros, zeros, zeros,
-                  eta0, one, jnp.zeros((), jnp.int32),
-                  jnp.abs(eta0) < exit_tol)
+                  eta0, jnp.ones_like(eta0) * one,
+                  jnp.zeros((), jnp.int32),
+                  jnp.all(jnp.abs(eta0) < exit_tol))
     out = jax.lax.while_loop(cond, body, init)
     return out.x, out.iters, out.converged, out.eta_prev
 

@@ -1,0 +1,173 @@
+"""Lane-packed multi-system kernel (tpcg/ops/packed.py) vs per-system
+oracles, in interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpcg import BlockTridiag, layout, precond
+from tpcg.ops.packed import pack_width, pcg_pallas_packed
+from tpcg.solver import jnp_backend
+from tpcg.solver.pipelined import pcg_pipelined_jnp
+
+
+def _batch(B, n, K, seed=0, dtype=jnp.float32):
+    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K, dtype=dtype).blocks
+                        for k in keys])
+    gamma = jax.random.normal(jax.random.PRNGKey(seed + 100), (B, K, n),
+                              dtype)
+    return blocks, gamma
+
+
+@pytest.mark.parametrize("pre", ["identity", "block_jacobi",
+                                 "symmetric_stair"])
+@pytest.mark.parametrize("P,K", [(4, 8), (2, 16)])
+def test_packed_classic_matches_per_system(pre, P, K):
+    B, n = P, 5  # single pack instance
+    blocks, gamma = _batch(B, n, K, seed=P + K)
+    lam0 = jnp.zeros_like(gamma)
+    res = pcg_pallas_packed(blocks, None, gamma, lam0, exit_tol=1e-8,
+                            max_iter=300, precond=pre, P=P, interpret=True)
+    identity = pre == "identity"
+    for b in range(B):
+        pb = (blocks[b] if identity
+              else precond.build(BlockTridiag(blocks[b]), pre).blocks)
+        r1 = jnp_backend.pcg_jnp(blocks[b], pb, gamma[b], lam0[b],
+                                 exit_tol=1e-8, max_iter=300,
+                                 identity_pinv=identity)
+        assert bool(res.converged[b])
+        # +-2, not the usual +-1: the segment-matmul dot sums lanes in a
+        # different order than jnp.sum, and at tol=1e-8 f32 (near the eta
+        # noise floor for identity preconditioning) that flips the exit by
+        # up to 2 passes
+        assert abs(int(res.iters[b]) - int(r1.iters)) <= 2, f"system {b}"
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), rtol=2e-4, atol=2e-5)
+
+
+def test_packed_multiple_grid_steps():
+    P, K, n, B = 2, 8, 4, 6  # 3 grid steps of 2-packs
+    blocks, gamma = _batch(B, n, K, seed=3)
+    lam0 = jnp.zeros_like(gamma)
+    res = pcg_pallas_packed(blocks, None, gamma, lam0, exit_tol=1e-7,
+                            max_iter=200, precond="block_jacobi", P=P,
+                            interpret=True)
+    assert res.lam.shape == (B, K, n)
+    assert np.all(np.asarray(res.converged))
+    for b in range(B):
+        x = np.linalg.solve(
+            np.asarray(BlockTridiag(blocks[b]).dense(), np.float64),
+            np.asarray(gamma[b], np.float64).reshape(-1))
+        np.testing.assert_allclose(np.asarray(res.lam[b]).reshape(-1), x,
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_packed_explicit_pinv():
+    P, K, n = 2, 8, 4
+    blocks, gamma = _batch(P, n, K, seed=5)
+    lam0 = jnp.zeros_like(gamma)
+    pb = precond.build(BlockTridiag(blocks), "block_jacobi").blocks
+    res = pcg_pallas_packed(blocks, pb, gamma, lam0, exit_tol=1e-7,
+                            max_iter=200, P=P, interpret=True)
+    for b in range(P):
+        r1 = jnp_backend.pcg_jnp(blocks[b], pb[b], gamma[b], lam0[b],
+                                 exit_tol=1e-7, max_iter=200)
+        assert abs(int(res.iters[b]) - int(r1.iters)) <= 1
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), rtol=2e-4, atol=2e-5)
+
+
+def test_packed_pipelined_matches_oracle():
+    P, K, n = 2, 8, 4
+    blocks, gamma = _batch(P, n, K, seed=7)
+    lam0 = jnp.zeros_like(gamma)
+    res = pcg_pallas_packed(blocks, None, gamma, lam0, exit_tol=1e-7,
+                            max_iter=200, precond="block_jacobi",
+                            method="pipelined", P=P, interpret=True)
+    for b in range(P):
+        pb = precond.build(BlockTridiag(blocks[b]), "block_jacobi").blocks
+        r1 = pcg_pipelined_jnp(blocks[b], pb, gamma[b], lam0[b],
+                               exit_tol=1e-7, max_iter=200)
+        assert bool(res.converged[b])
+        assert abs(int(res.iters[b]) - int(r1.iters)) <= 1
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), rtol=2e-4, atol=2e-5)
+
+
+def test_packed_mixed_convergence_freezes():
+    """System 0 converged at entry (zero rhs): must come back lam=0,
+    iters=0, no NaN; others solve normally."""
+    P, K, n = 2, 8, 4
+    blocks, gamma = _batch(P, n, K, seed=9)
+    gamma = gamma.at[0].set(0.0)
+    lam0 = jnp.zeros_like(gamma)
+    res = pcg_pallas_packed(blocks, None, gamma, lam0, exit_tol=1e-7,
+                            max_iter=200, precond="block_jacobi", P=P,
+                            interpret=True)
+    assert np.all(np.isfinite(np.asarray(res.lam)))
+    assert np.all(np.asarray(res.lam[0]) == 0)
+    assert int(res.iters[0]) == 0
+    assert bool(res.converged[0]) and bool(res.converged[1])
+
+
+def test_pack_width_heuristic():
+    assert pack_width(256, 128, 14) in (2, 4)       # PK cap 512
+    assert pack_width(256, 32, 14) in (8, 16)
+    assert pack_width(3, 128, 14) == 1              # must divide B
+    assert pack_width(256, 512, 14) == 1            # K already fills cap
+
+
+def test_packed_rejects_bad_pack():
+    blocks, gamma = _batch(3, 4, 8)
+    with pytest.raises(ValueError, match="divisible"):
+        pcg_pallas_packed(blocks, None, gamma, jnp.zeros_like(gamma),
+                          exit_tol=1e-6, max_iter=10, P=2, interpret=True)
+
+
+def test_batched_backend_routes_small_K_through_pack():
+    """pcg_pallas_batched at K<128 (the grid kernel cannot block-slice
+    unaligned lanes) must route through the packed kernel with identity
+    padding and return exact per-system results."""
+    from tpcg.solver import pallas_backend
+
+    B, n, K = 6, 4, 12  # B not a power of 2, K unaligned -> pads both
+    blocks, gamma = _batch(B, n, K, seed=11)
+    lam0 = jnp.zeros_like(gamma)
+    res = pallas_backend.pcg_pallas_batched(
+        blocks, None, gamma, lam0, exit_tol=1e-7, max_iter=200,
+        precond="block_jacobi", interpret=True)
+    assert res.lam.shape == (B, K, n)
+    assert np.all(np.asarray(res.converged))
+    for b in range(B):
+        pb = precond.build(BlockTridiag(blocks[b]), "block_jacobi").blocks
+        r1 = jnp_backend.pcg_jnp(blocks[b], pb, gamma[b], lam0[b],
+                                 exit_tol=1e-7, max_iter=200)
+        assert abs(int(res.iters[b]) - int(r1.iters)) <= 1
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), rtol=2e-4, atol=2e-5)
+
+
+def test_k_padding_preserves_iterates_exactly():
+    """Direct-sum identity padding of the chain is mathematically inert:
+    iteration counts must match exactly (the padded rows carry zero residual
+    forever); the solution may drift by fp32 reduction-order ulps only (the
+    dot sums over K_pad instead of K elements)."""
+    from tpcg.ops.packed import pad_systems
+
+    B, n, K = 2, 4, 12
+    blocks, gamma = _batch(B, n, K, seed=13)
+    lam0 = jnp.zeros_like(gamma)
+    S_p, _, g_p, l_p = pad_systems(blocks, None, gamma, lam0, 16, 2)
+    for b in range(B):
+        pb = precond.build(BlockTridiag(blocks[b]), "block_jacobi").blocks
+        pbp = precond.build(BlockTridiag(S_p[b]), "block_jacobi").blocks
+        r = jnp_backend.pcg_jnp(blocks[b], pb, gamma[b], lam0[b],
+                                exit_tol=1e-7, max_iter=200)
+        rp = jnp_backend.pcg_jnp(S_p[b], pbp, g_p[b], l_p[b],
+                                 exit_tol=1e-7, max_iter=200)
+        assert int(r.iters) == int(rp.iters)
+        np.testing.assert_array_equal(np.asarray(rp.lam[K:]), 0.0)
+        np.testing.assert_allclose(np.asarray(rp.lam[:K]),
+                                   np.asarray(r.lam), rtol=2e-4, atol=2e-5)

@@ -1,0 +1,462 @@
+"""Lane-packed multi-system fused PCG: P independent systems solved JOINTLY
+in one kernel instance, concatenated along the 128-wide lane axis.
+
+Why this exists (the TPU-shaped answer to batching, which the reference
+cannot do at all — one launch per system, SURVEY.md §2 "parallelism"):
+
+* The grid-batched kernel (tpcg/ops/fused_pcg.py) runs one system per grid
+  step, so every system pays the full per-iteration latency (~0.4 us:
+  scalar sync chains + loop overhead dominate at trajopt sizes, where an
+  (n, K) page is only 1-4 vregs of vector work).
+* Packing P systems side by side on lanes makes every VPU op process P
+  systems at once: per-iteration overhead is paid ONCE per pack. At K < 128
+  it also fills lanes a single system would waste (K=32 leaves 75% of every
+  vreg idle — the "small-K cliff").
+
+Layout: operands are lane-concatenated lane-major pages — S ``(3, n, n,
+P*K)``, vectors ``(n, P*K)`` — i.e. P single-system lane-major layouts
+abutted on the minor axis. Halo shifts become period-K masked rolls (the
+segment boundary plays the role the chain boundary plays in
+tpcg/ops/bdmv.py). Per-system dot products are computed with ONE MXU
+matmul: ``sum_sublanes(a*b) (1, PK) @ SEG (PK, PK)`` where ``SEG[l, m] =
+(l//K == m//K)`` — every lane receives its own segment's sum, so
+alpha/beta/eta stay lane-replicated vector values and no scalar extraction
+happens inside the loop (the MXU is otherwise idle in this kernel).
+
+Per-system semantics match independent solves (pcg.cuh:154-212 exit/count
+rules): converged systems are frozen with jnp.where masks (NOT 0/1
+multiplies — a system converged at entry has alpha = 0/0 = NaN), the pack
+iterates until all systems converge or ``max_iter``, and per-system
+``iters``/``converged``/``eta`` come back.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpcg.types import PCGResult
+
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+def _seg_shift_down(x, n, PK, K):
+    """y[:, l] = x[:, l-1] within each K-lane segment, 0 at segment starts."""
+    if K == 1:
+        return jnp.zeros_like(x)
+    shifted = jnp.roll(x, 1, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, PK), 1)
+    return jnp.where(lane % K == 0, 0.0, shifted)
+
+
+def _seg_shift_up(x, n, PK, K):
+    """y[:, l] = x[:, l+1] within each K-lane segment, 0 at segment ends."""
+    if K == 1:
+        return jnp.zeros_like(x)
+    shifted = jnp.roll(x, -1, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, PK), 1)
+    return jnp.where(lane % K == K - 1, 0.0, shifted)
+
+
+def _bdmv_packed(S, x, n, PK, K):
+    """Lane-major bdmv with period-K halo boundaries (tpcg/ops/bdmv.py
+    bdmv_lane_major, segment-masked)."""
+    xs = (_seg_shift_down(x, n, PK, K), x, _seg_shift_up(x, n, PK, K))
+    acc = jnp.zeros((n, PK), x.dtype)
+    for d in range(3):
+        acc = acc + jnp.sum(S[d] * xs[d][:, None, :], axis=0)
+    return acc
+
+
+def _apply_stair_packed(S, Dinv_t, v, n, PK, K):
+    """Factored symmetric-stair apply with period-K boundaries
+    (tpcg/ops/smallinv.py apply_symmetric_stair_factored)."""
+    from tpcg.ops.smallinv import blockdiag_mv_lane_major
+
+    w = blockdiag_mv_lane_major(Dinv_t, v, n, PK)
+    w_dn = _seg_shift_down(w, n, PK, K)
+    w_up = _seg_shift_up(w, n, PK, K)
+    t = v - (jnp.sum(S[0] * w_dn[:, None, :], axis=0) +
+             jnp.sum(S[2] * w_up[:, None, :], axis=0))
+    return blockdiag_mv_lane_major(Dinv_t, t, n, PK)
+
+
+def _seg_matrix(PK, K, dtype):
+    """(PK, PK) one-hot block matrix: SEG[l, m] = 1 if l//K == m//K."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (PK, PK), 0)
+    mi = jax.lax.broadcasted_iota(jnp.int32, (PK, PK), 1)
+    return (li // K == mi // K).astype(dtype)
+
+
+def _pcg_packed_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
+                       lam_ref, iters_ref, conv_ref, eta_ref,
+                       *, n, PK, K, P, max_iter, precond,
+                       method="classic"):
+    from tpcg.ops.smallinv import (blockdiag_mv_lane_major,
+                                   gj_inverse_lane_major)
+
+    S = S_ref[...]
+    gamma = gamma_ref[...]
+    lam0 = lam0_ref[...]
+    tol = tol_ref[0]
+    seg = _seg_matrix(PK, K, gamma.dtype)
+
+    mv = lambda v: _bdmv_packed(S, v, n, PK, K)
+    if precond == "identity":
+        apply_pinv = lambda v: v
+    elif precond == "explicit":
+        Pinv = pinv_ref[...]
+        apply_pinv = lambda v: _bdmv_packed(Pinv, v, n, PK, K)
+    elif precond == "block_jacobi":
+        Dinv_t = gj_inverse_lane_major(S[1], n, PK)
+        apply_pinv = lambda v: blockdiag_mv_lane_major(Dinv_t, v, n, PK)
+    elif precond == "symmetric_stair":
+        Dinv_t = gj_inverse_lane_major(S[1], n, PK)
+        apply_pinv = lambda v: _apply_stair_packed(S, Dinv_t, v, n, PK, K)
+    else:
+        raise ValueError(f"bad precond {precond!r}")
+
+    def vdot_seg(a, b):
+        # (1, PK): lane l holds the dot of the system owning lane l. The
+        # one-hot matmul sums exact f32 addends; HIGHEST precision keeps
+        # the MXU from rounding them to bf16 (CLAUDE.md invariant).
+        t = jnp.sum(a * b, axis=0, keepdims=True)
+        return jax.lax.dot_general(t, seg, (((1,), (0,)), ((), ())),
+                                   precision=_HIGH,
+                                   preferred_element_type=a.dtype)
+
+    if method not in ("classic", "pipelined"):
+        raise ValueError(f"bad method {method!r}")
+
+    if method == "pipelined":
+        lam, iters_v, conv_v, eta_v = _packed_pipelined_loop(
+            mv, apply_pinv, vdot_seg, gamma, lam0, tol, max_iter, PK)
+    else:
+        lam, iters_v, conv_v, eta_v = _packed_classic_loop(
+            mv, apply_pinv, vdot_seg, gamma, lam0, tol, max_iter, PK)
+
+    lam_ref[...] = lam
+    b = pl.program_id(0)
+    for p in range(P):  # SMEM stores are scalar-at-a-time; once per solve
+        iters_ref[b * P + p] = iters_v[0, p * K]
+        conv_ref[b * P + p] = conv_v[0, p * K]
+        eta_ref[b * P + p] = eta_v[0, p * K]
+
+
+def _packed_classic_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
+                         max_iter, PK):
+    """The reference's exact loop (pcg.cuh:154-208) with lane-replicated
+    per-system scalars and masked freeze."""
+    r = gamma - mv(lam0)
+    rt = apply_pinv(r)
+    p = rt
+    eta = vdot_seg(r, rt)                       # (1, PK)
+
+    def cond(c):
+        lam, r, p, eta, iters, conv32, step = c
+        return jnp.logical_and(step < max_iter,
+                               jnp.sum(1 - conv32) > 0)
+
+    def body(c):
+        lam, r, p, eta, iters, conv32, step = c
+        active = conv32 == 0                    # (1, PK) bool
+        ups = mv(p)
+        alpha = eta / vdot_seg(p, ups)
+        lam = jnp.where(active, lam + alpha * p, lam)
+        r = jnp.where(active, r - alpha * ups, r)
+        rt = apply_pinv(r)
+        eta_new = jnp.where(active, vdot_seg(r, rt), eta)
+        conv_new = jnp.logical_and(active, jnp.abs(eta_new) < tol)
+        beta = eta_new / eta
+        p = jnp.where(active, rt + beta * p, p)
+        iters = iters + active.astype(jnp.int32)
+        conv32 = jnp.maximum(conv32, conv_new.astype(jnp.int32))
+        return (lam, r, p, eta_new, iters, conv32, step + 1)
+
+    conv0 = (jnp.abs(eta) < tol).astype(jnp.int32)
+    init = (lam0, r, p, eta, jnp.zeros((1, PK), jnp.int32), conv0,
+            jnp.zeros((), jnp.int32))
+    lam, r, p, eta, iters, conv32, _ = jax.lax.while_loop(cond, body, init)
+    return lam, iters, conv32, eta
+
+
+def _packed_pipelined_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
+                           max_iter, PK, replace_every: int = 16):
+    """Ghysels-Vanroose recurrences with lane-replicated per-system scalars
+    (tpcg/solver/pipelined.py semantics, incl. the eta-guarded residual
+    replacement)."""
+    r = gamma - mv(lam0)
+    u = apply_pinv(r)
+    w = mv(u)
+    zeros = jnp.zeros_like(r)
+    eta0 = vdot_seg(r, u)
+
+    def cond(c):
+        return jnp.logical_and(c[-1] < max_iter,
+                               jnp.sum(1 - c[-2]) > 0)
+
+    def body(c):
+        (x, r, u, w, z, q, s, p, eta_prev, alpha_prev, iters, conv32,
+         step) = c
+        active = conv32 == 0
+        eta = jnp.where(active, vdot_seg(r, u), eta_prev)
+        delta = vdot_seg(w, u)
+        m = apply_pinv(w)
+        nn = mv(m)
+        first = step == 0
+        beta = jnp.where(first, jnp.zeros_like(eta), eta / eta_prev)
+        alpha = jnp.where(first, eta / delta,
+                          eta / (delta - beta * eta / alpha_prev))
+        z = jnp.where(active, nn + beta * z, z)
+        q = jnp.where(active, m + beta * q, q)
+        s = jnp.where(active, w + beta * s, s)
+        p = jnp.where(active, u + beta * p, p)
+        x = jnp.where(active, x + alpha * p, x)
+        r = jnp.where(active, r - alpha * s, r)
+        u = jnp.where(active, u - alpha * q, u)
+        w = jnp.where(active, w - alpha * z, w)
+        if replace_every:
+            def replace(args):
+                x, p, *_ = args
+                r = gamma - mv(x)
+                u = apply_pinv(r)
+                w = mv(u)
+                s2 = mv(p)
+                q2 = apply_pinv(s2)
+                z2 = mv(q2)
+                return (x, p, r, u, w, s2, q2, z2)
+
+            # scalar cadence; eta guard as in tpcg/solver/pipelined.py —
+            # replacements near convergence inject fp32 noise-floor error
+            do_replace = jnp.logical_and(
+                step % replace_every == replace_every - 1, step > 0)
+            do_replace = jnp.logical_and(
+                do_replace, jnp.all(jnp.abs(eta) > 1000.0 * tol))
+            x, p, r, u, w, s, q, z = jax.lax.cond(
+                do_replace, replace, lambda args: args,
+                (x, p, r, u, w, s, q, z))
+        conv_new = jnp.logical_and(active, jnp.abs(eta) < tol)
+        conv32 = jnp.maximum(conv32, conv_new.astype(jnp.int32))
+        alpha_prev = jnp.where(active, alpha, alpha_prev)
+        iters = iters + active.astype(jnp.int32)
+        return (x, r, u, w, z, q, s, p, eta, alpha_prev, iters, conv32,
+                step + 1)
+
+    conv0 = (jnp.abs(eta0) < tol).astype(jnp.int32)
+    init = (lam0, r, u, w, zeros, zeros, zeros, zeros, eta0,
+            jnp.ones_like(eta0), jnp.zeros((1, PK), jnp.int32), conv0,
+            jnp.zeros((), jnp.int32))
+    out = jax.lax.while_loop(cond, body, init)
+    x, eta, iters, conv32 = out[0], out[8], out[10], out[11]
+    return x, iters, conv32, eta
+
+
+def _fits_vmem(state_size, pk, dtype, identity_pinv, precond, method):
+    from tpcg.utils.feasibility import VMEM_BYTES, VMEM_HEADROOM, \
+        fused_vmem_bytes
+
+    seg_bytes = pk * pk * jnp.dtype(dtype).itemsize
+    need = fused_vmem_bytes(state_size, pk, dtype, identity_pinv,
+                            precond, 1, method) + seg_bytes
+    return need <= int(VMEM_BYTES * VMEM_HEADROOM)
+
+
+def pack_width(B: int, K: int, state_size: int, dtype=jnp.float32,
+               precond: str = None, identity_pinv: bool = False,
+               method: str = "classic", max_lanes: int = 512) -> int:
+    """Largest power-of-2 P dividing B with P*K <= max_lanes, P*K lane-tile
+    aligned, and the packed working set within VMEM (the fast-variant model
+    with K -> P*K, plus the (PK, PK) segment matrix)."""
+    best = 1
+    p = 1
+    while p <= B and p * K <= max_lanes:
+        if B % p == 0 and (p * K) % 128 == 0 and _fits_vmem(
+                state_size, p * K, dtype, identity_pinv, precond, method):
+            best = p
+        p *= 2
+    return best
+
+
+def plan_pack(B: int, K: int, state_size: int, dtype=jnp.float32,
+              precond: str = None, identity_pinv: bool = False,
+              method: str = "classic", max_lanes: int = 512):
+    """Choose ``(P, K_pad, B_pad)`` for an arbitrary batch.
+
+    ``K_pad >= K``: each system's chain is extended with decoupled identity
+    blocks (zero off-diagonals at the seam — the cbtd padding contract
+    already guarantees the original last block's right slot is zero), zero
+    rhs and zero warm start. The padded rows carry exactly zero residual
+    forever, contribute zero to every dot, and therefore leave the Krylov
+    iterates of the real system mathematically unchanged (fp32 drift is
+    reduction-order ulps only) — pure direct-sum padding.
+    ``B_pad >= B``: whole dummy identity systems with zero rhs (converged at
+    entry, 0 iterations).
+
+    The grid-blocked Pallas kernel requires lane-aligned block slices
+    (P*K_pad % 128 == 0; the grid-batched kernel in tpcg/ops/fused_pcg.py
+    simply cannot run at K < 128 for this reason), so candidates are scored
+    by lane utilization K/K_pad first, then by pack width P."""
+    def pow2_at_least(x):
+        p = 1
+        while p < x:
+            p *= 2
+        return p
+
+    cands = []
+    for K_pad in sorted({K, pow2_at_least(K), -(-K // 128) * 128}):
+        if K_pad < K:
+            continue
+        p = 1
+        while p * K_pad <= max_lanes:
+            pk = p * K_pad
+            if pk % 128 == 0 and _fits_vmem(state_size, pk, dtype,
+                                            identity_pinv, precond, method):
+                cands.append((K / K_pad, p, K_pad))
+            p *= 2
+    if not cands:
+        return None  # nothing lane-aligned fits — caller falls back
+    cands.sort()
+    _, P, K_pad = cands[-1]
+    B_pad = -(-B // P) * P
+    return P, K_pad, B_pad
+
+
+def pad_systems(S_blocks, Pinv_blocks, gamma, lam0, K_pad: int, B_pad: int):
+    """Apply the plan_pack padding: identity tail blocks along K, dummy
+    identity systems along B, zeros in gamma/lam0."""
+    B, K, _, n, _ = S_blocks.shape
+    eye = jnp.broadcast_to(
+        jnp.eye(n, dtype=S_blocks.dtype)[None, None, :, :],
+        (1, 1, n, n))
+
+    def pad_blocks(blocks):
+        if K_pad > K:
+            tail = jnp.concatenate(
+                [jnp.zeros((B, K_pad - K, 1, n, n), blocks.dtype),
+                 jnp.broadcast_to(eye, (B, K_pad - K, 1, n, n)),
+                 jnp.zeros((B, K_pad - K, 1, n, n), blocks.dtype)], axis=2)
+            blocks = jnp.concatenate([blocks, tail], axis=1)
+        if B_pad > B:
+            dummy = jnp.concatenate(
+                [jnp.zeros((B_pad - B, K_pad, 1, n, n), blocks.dtype),
+                 jnp.broadcast_to(eye, (B_pad - B, K_pad, 1, n, n)),
+                 jnp.zeros((B_pad - B, K_pad, 1, n, n), blocks.dtype)],
+                axis=2)
+            blocks = jnp.concatenate([blocks, dummy], axis=0)
+        return blocks
+
+    def pad_vec(v):
+        if K_pad > K:
+            v = jnp.concatenate(
+                [v, jnp.zeros((B, K_pad - K, n), v.dtype)], axis=1)
+        if B_pad > B:
+            v = jnp.concatenate(
+                [v, jnp.zeros((B_pad - B, K_pad, n), v.dtype)], axis=0)
+        return v
+
+    S_p = pad_blocks(S_blocks)
+    P_p = None if Pinv_blocks is None else pad_blocks(Pinv_blocks)
+    return S_p, P_p, pad_vec(gamma), pad_vec(lam0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_iter", "precond", "method", "P",
+                                    "interpret"))
+def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
+                      max_iter: int, precond: str = None,
+                      method: str = "classic", P: int = None,
+                      interpret: bool = False) -> PCGResult:
+    """Batched fused solve, P systems lane-packed per grid step.
+
+    ``S_blocks (B, K, 3, n, n)``, vectors ``(B, K, n)``; ``B % P == 0``.
+    ``P=None`` picks the widest feasible pack. Returns per-system
+    ``PCGResult`` with a leading B axis, iteration semantics identical to
+    independent solves (frozen after convergence)."""
+    from tpcg.ops.bdmv import to_lane_major
+
+    B, K = gamma.shape[0], gamma.shape[1]
+    n = gamma.shape[2]
+    dtype = S_blocks.dtype
+    if precond is None:
+        precond = "identity" if Pinv_blocks is None else "explicit"
+    if precond != "explicit" and Pinv_blocks is not None:
+        raise ValueError(f"Pinv_blocks must be None with precond={precond!r}")
+    if P is None:
+        P = pack_width(B, K, n, dtype, precond=precond,
+                       identity_pinv=precond == "identity", method=method)
+    if B % P != 0:
+        raise ValueError(f"batch {B} not divisible by pack width {P}")
+    G = B // P
+    PK = P * K
+
+    def pack_mats(blocks):  # (B, K, 3, n, n) -> (G, 3, n, n, P*K)
+        lm = jax.vmap(to_lane_major)(blocks)          # (B, 3, n, n, K)
+        lm = lm.reshape(G, P, 3, n, n, K)
+        return jnp.moveaxis(lm, 1, -2).reshape(G, 3, n, n, PK)
+
+    def pack_vecs(v):                                  # (B, K, n) -> (G, n, P*K)
+        v = jnp.swapaxes(v, -1, -2).reshape(G, P, n, K)
+        return jnp.moveaxis(v, 1, -2).reshape(G, n, PK)
+
+    S_p = pack_mats(S_blocks)
+    gamma_p = pack_vecs(gamma)
+    lam0_p = pack_vecs(lam0)
+    tol = jnp.asarray([exit_tol], dtype)
+
+    kw = dict(n=n, PK=PK, K=K, P=P, max_iter=max_iter, precond=precond,
+              method=method)
+
+    def block(shape):
+        return pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),
+                            memory_space=pltpu.VMEM)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((G, n, PK), dtype),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+        jax.ShapeDtypeStruct((B,), dtype),
+    )
+    if precond == "explicit":
+        kernel = functools.partial(_pcg_packed_kernel_pinv, **kw)
+        P_p = pack_mats(Pinv_blocks)
+        in_specs = [smem, block((3, n, n, PK)), block((3, n, n, PK)),
+                    block((n, PK)), block((n, PK))]
+        operands = (tol, S_p, P_p, gamma_p, lam0_p)
+    else:
+        kernel = functools.partial(_pcg_packed_kernel_nopinv, **kw)
+        in_specs = [smem, block((3, n, n, PK)), block((n, PK)),
+                    block((n, PK))]
+        operands = (tol, S_p, gamma_p, lam0_p)
+
+    lam_p, iters, conv, eta = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=(block((n, PK)), smem, smem, smem),
+        interpret=interpret,
+    )(*operands)
+
+    # unpack (G, n, P*K) -> (B, K, n)
+    lam = jnp.moveaxis(lam_p.reshape(G, n, P, K), -2, 1).reshape(B, n, K)
+    lam = jnp.swapaxes(lam, -1, -2)
+    return PCGResult(lam=lam, iters=iters, converged=conv != 0, eta=eta)
+
+
+def _pcg_packed_kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref,
+                              lam_ref, iters_ref, conv_ref, eta_ref, **kw):
+    _pcg_packed_kernel(tol_ref, S_ref.at[0], None, gamma_ref.at[0],
+                       lam0_ref.at[0], lam_ref.at[0], iters_ref, conv_ref,
+                       eta_ref, **kw)
+
+
+def _pcg_packed_kernel_pinv(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
+                            lam_ref, iters_ref, conv_ref, eta_ref, **kw):
+    _pcg_packed_kernel(tol_ref, S_ref.at[0], pinv_ref.at[0],
+                       gamma_ref.at[0], lam0_ref.at[0], lam_ref.at[0],
+                       iters_ref, conv_ref, eta_ref, **kw)

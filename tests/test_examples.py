@@ -41,3 +41,9 @@ def test_diff_solver_example(capsys):
     # one Newton step with an exact implicit gradient nails the target
     rel = float(out.strip().rsplit(" ", 1)[-1])
     assert rel < 1e-2
+
+
+def test_sqp_quadrotor_example(capsys):
+    _run("sqp_quadrotor")
+    out = capsys.readouterr().out
+    assert "converged=True" in out

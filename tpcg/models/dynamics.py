@@ -77,6 +77,28 @@ def manipulator_joint_space(n_joints: int = 7, dt: float = 0.01,
     return A, B
 
 
+def planar_quadrotor_step(x, u, dt: float = 0.05, mass: float = 1.0,
+                          inertia: float = 0.05, arm: float = 0.25,
+                          g: float = 9.81):
+    """Genuinely NONLINEAR discrete dynamics for the SQP layer
+    (tpcg/models/sqp.py): planar quadrotor, Euler-discretized.
+
+    State (6): px, pz, theta, vx, vz, omega. Control (2): rotor thrusts.
+    Thrust acts along the body axis -> sin/cos nonlinearity in theta.
+    """
+    px, pz, th, vx, vz, om = x
+    thrust = u[0] + u[1]
+    ax = -thrust * jnp.sin(th) / mass
+    az = thrust * jnp.cos(th) / mass - g
+    al = arm * (u[1] - u[0]) / inertia
+    return jnp.stack([px + dt * vx,
+                      pz + dt * vz,
+                      th + dt * om,
+                      vx + dt * ax,
+                      vz + dt * az,
+                      om + dt * al])
+
+
 def tracking_lqr(A, B, knot_points: int, x_init, x_goal=None,
                  q_weight: float = 1.0, r_weight: float = 0.1,
                  qf_weight: float = 10.0, dtype=jnp.float32) -> LQRProblem:

@@ -1,0 +1,208 @@
+"""Nonlinear trajectory optimization: an SQP outer loop around the PCG
+solver — the full MPCGPU scope the reference serves.
+
+The reference is the linear-system core of MPCGPU's real-time NMPC solver
+(/root/reference/README.md:66-77, arXiv:2309.08079): an SQP loop that
+linearizes nonlinear dynamics, quadratizes costs, forms the Schur
+complement of the resulting LQR-KKT system, PCG-solves it for the dynamics
+multipliers, recovers the primal step, and line-searches a merit function.
+The reference repo ships only the PCG stage; this module supplies the loop
+above it, TPU-natively:
+
+* linearization = one ``jax.vmap(jax.jacfwd(...))`` over the horizon — the
+  whole A_k/B_k stack in two batched traced passes, no per-knot autodiff
+  loops;
+* the QP subproblem is a delta-form ``LQRProblem`` assembled by
+  tpcg/models/lqr_kkt.py (batched einsums) and solved by the fused Pallas
+  PCG kernel through the public API;
+* the merit line search evaluates all candidate step lengths in one
+  vmapped rollout batch.
+
+Method: Gauss-Newton SQP on direct multiple shooting. Decision variables
+are the full state AND control trajectories; dynamics enter as defect
+constraints ``f(x_k, u_k) - x_{k+1} = 0``, linearized each iteration. With
+quadratic tracking costs the Gauss-Newton Hessian is exact, so the QP is
+precisely the LQRProblem form (Q, q, R, r SPD by construction + optional
+Levenberg regularization).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpcg.models.lqr_kkt import LQRProblem, recover_primal, schur_system
+from tpcg.types import PCGConfig
+
+
+class TrajOptProblem(NamedTuple):
+    """Nonlinear trajectory-optimization problem.
+
+    Attributes:
+      dynamics: ``f(x (n,), u (m,)) -> x_next (n,)`` — discrete, nonlinear.
+      Q, q: running state cost ``1/2 x'Qx + q'x`` per knot, shapes
+        ``(K, n, n)`` / ``(K, n)`` (row K-1 is the terminal cost).
+      R, r: control cost per stage, ``(K-1, m, m)`` / ``(K-1, m)``.
+      x_init: fixed initial state ``(n,)``.
+    """
+    dynamics: Callable
+    Q: jax.Array
+    q: jax.Array
+    R: jax.Array
+    r: jax.Array
+    x_init: jax.Array
+
+
+class SQPResult(NamedTuple):
+    x: jax.Array          #: (K, n) optimized states
+    u: jax.Array          #: (K-1, m) optimized controls
+    iterations: int       #: SQP iterations executed
+    converged: bool       #: step + defect tolerances met
+    cost: float           #: final objective value
+    defect: float         #: final max-norm dynamics defect
+    history: list         #: per-iteration dicts (cost, defect, pcg_iters,
+    #: step size) — observability the reference never had (SURVEY.md §5.5)
+
+
+_HIGH = jax.lax.Precision.HIGHEST
+# every einsum here is precision-pinned: TPU f32 einsums default to
+# bf16-grade MXU passes, and ~1e-3-relative merit/gradient noise was
+# observed to stall the line search at defect ~1e-3 (CLAUDE.md invariant)
+
+
+def _objective(p: TrajOptProblem, X, U):
+    cx = 0.5 * jnp.einsum('ki,kij,kj->', X, p.Q, X,
+                          precision=_HIGH) + jnp.sum(p.q * X)
+    cu = 0.5 * jnp.einsum('ki,kij,kj->', U, p.R, U,
+                          precision=_HIGH) + jnp.sum(p.r * U)
+    return cx + cu
+
+
+def _defects(p: TrajOptProblem, X, U):
+    """f(x_k, u_k) - x_{k+1} for k = 0..K-2, shape (K-1, n)."""
+    return jax.vmap(p.dynamics)(X[:-1], U) - X[1:]
+
+
+def _merit(p: TrajOptProblem, X, U, mu):
+    return _objective(p, X, U) + mu * jnp.sum(jnp.abs(_defects(p, X, U)))
+
+
+def _linearize(p: TrajOptProblem, X, U):
+    """Batched A_k = df/dx, B_k = df/du along the trajectory."""
+    A = jax.vmap(jax.jacfwd(p.dynamics, argnums=0))(X[:-1], U)
+    B = jax.vmap(jax.jacfwd(p.dynamics, argnums=1))(X[:-1], U)
+    return A, B
+
+
+def _qp_step(p: TrajOptProblem, X, U, reg, config):
+    """One Gauss-Newton QP: assemble the delta-form LQRProblem and PCG-solve
+    its Schur complement. Returns (dx, du, pcg_result)."""
+    from tpcg.solver.api import pcg_solve
+
+    n = X.shape[-1]
+    A, B = _linearize(p, X, U)
+    d = _defects(p, X, U)
+    # gradients of the quadratic costs at the current trajectory
+    gx = jnp.einsum('kij,kj->ki', p.Q, X, precision=_HIGH) + p.q
+    gu = jnp.einsum('kij,kj->ki', p.R, U, precision=_HIGH) + p.r
+    eyeK = jnp.broadcast_to(jnp.eye(n, dtype=X.dtype), p.Q.shape)
+    dt = p.Q.dtype  # user dynamics may emit f64 under x64; pin to cost dtype
+    qp = LQRProblem(Q=p.Q + reg * eyeK, q=gx.astype(dt), R=p.R,
+                    r=gu.astype(dt), A=A.astype(dt), B=B.astype(dt),
+                    c=d.astype(dt),
+                    x_init=(p.x_init - X[0]).astype(dt))
+    S, gamma = schur_system(qp)
+    res = pcg_solve(S, gamma, config=config)
+    dx, du = recover_primal(qp, res.lam)
+    return dx, du, res
+
+
+def sqp_solve(p: TrajOptProblem, X0=None, U0=None, *,
+              max_sqp_iters: int = 20, step_tol: float = 1e-4,
+              defect_tol: float = 1e-4, merit_mu: float = 10.0,
+              reg: float = 1e-6, n_alphas: int = 8,
+              config: Optional[PCGConfig] = None) -> SQPResult:
+    """Solve a nonlinear trajectory-optimization problem by SQP.
+
+    Args:
+      X0, U0: initial trajectory guess; defaults to a hover-style constant
+        rollout of zeros (states pinned at x_init, controls zero).
+      max_sqp_iters: outer-iteration cap.
+      step_tol / defect_tol: convergence when max|step| and max|defect|
+        both drop below these.
+      merit_mu: l1 defect weight in the line-search merit function.
+      reg: Levenberg regularization added to Q in the QP (keeps the Schur
+        complement SPD away from the solution).
+      n_alphas: candidate step sizes 2^0 .. 2^-(n-1), evaluated in one
+        vmapped merit batch.
+      config: PCGConfig for the inner linear solves (default: symmetric-
+        stair, 1e-8, the fused kernel on TPU).
+    """
+    K, n = p.Q.shape[0], p.Q.shape[-1]
+    m = p.R.shape[-1]
+    X = (jnp.broadcast_to(p.x_init, (K, n)).astype(p.Q.dtype)
+         if X0 is None else jnp.asarray(X0))
+    U = jnp.zeros((K - 1, m), p.Q.dtype) if U0 is None else jnp.asarray(U0)
+    config = config or PCGConfig(exit_tol=1e-8, max_iter=200,
+                                 preconditioner="symmetric_stair")
+    alphas = 2.0 ** -jnp.arange(n_alphas, dtype=p.Q.dtype)
+
+    merit_batch = jax.jit(jax.vmap(
+        lambda a, X_, U_, dx, du: _merit(p, X_ + a * dx, U_ + a * du,
+                                         merit_mu),
+        in_axes=(0, None, None, None, None)))
+
+    history = []
+    converged = False
+    it = 0
+    for it in range(1, max_sqp_iters + 1):
+        dx, du, res = _qp_step(p, X, U, reg, config)
+        merits = merit_batch(alphas, X, U, dx, du)
+        best = int(jnp.argmin(merits))
+        m0 = float(_merit(p, X, U, merit_mu))
+        alpha = float(alphas[best]) if float(merits[best]) < m0 else 0.0
+        X = X + alpha * dx
+        U = U + alpha * du
+        step = float(jnp.max(jnp.abs(alpha * dx))) if alpha else 0.0
+        defect = float(jnp.max(jnp.abs(_defects(p, X, U))))
+        history.append(dict(cost=float(_objective(p, X, U)), defect=defect,
+                            pcg_iters=int(res.iters), alpha=alpha,
+                            step=step))
+        if alpha == 0.0:
+            break  # no merit decrease along the step — at a local solution
+        if step < step_tol and defect < defect_tol:
+            converged = True
+            break
+
+    defect = float(jnp.max(jnp.abs(_defects(p, X, U))))
+    converged = converged or defect < defect_tol
+    return SQPResult(x=X, u=U, iterations=it, converged=converged,
+                     cost=float(_objective(p, X, U)), defect=defect,
+                     history=history)
+
+
+def quadrotor_hover_problem(K: int = 32, dt: float = 0.05,
+                            x_init=None, x_goal=None,
+                            dtype=jnp.float32) -> TrajOptProblem:
+    """Planar-quadrotor stabilization: fly from a displaced, tilted start
+    to hover at the origin — the nonlinear benchmark shape of the MPCGPU
+    stack (reference README.md:66-77)."""
+    from tpcg.models.dynamics import planar_quadrotor_step
+
+    n, m = 6, 2
+    x_init = (jnp.asarray([1.0, -0.5, 0.4, 0.0, 0.0, 0.0], dtype)
+              if x_init is None else jnp.asarray(x_init, dtype))
+    x_goal = jnp.zeros(n, dtype) if x_goal is None else jnp.asarray(
+        x_goal, dtype)
+    Q = jnp.broadcast_to(jnp.diag(
+        jnp.asarray([10., 10., 2., 1., 1., 0.5], dtype)), (K, n, n))
+    Q = Q.at[-1].multiply(10.0)
+    q = -jnp.einsum('kij,j->ki', Q, x_goal, precision=_HIGH)
+    # penalize deviation from hover thrust (mg/2 per rotor)
+    u_hover = jnp.asarray([9.81 / 2, 9.81 / 2], dtype)
+    R = jnp.broadcast_to(0.1 * jnp.eye(m, dtype=dtype), (K - 1, m, m))
+    r = -jnp.einsum('kij,j->ki', R, u_hover, precision=_HIGH)
+    dyn = lambda x, u: planar_quadrotor_step(x, u, dt=dt)
+    return TrajOptProblem(dynamics=dyn, Q=Q, q=q, R=R, r=r, x_init=x_init)

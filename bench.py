@@ -48,6 +48,9 @@ def _enable_compile_cache():
 
 def main():
     _enable_compile_cache()
+    # x64 enabled up front for BASELINE config 2 (fp64 golden); every other
+    # config builds its arrays with explicit f32 dtypes
+    jax.config.update("jax_enable_x64", True)
     from tpcg import precond
     from tpcg.models import golden, trajopt
     from tpcg.solver import jnp_backend, pallas_backend
@@ -73,6 +76,7 @@ def main():
     rows = []
 
     def run_config(name, S, gamma, pre, tol=1e-6, mi=100, repeats=256):
+        err(f"# running: {name}")
         if pre == "identity":
             # chained timer needs a concrete Pinv operand; identity as cbtd
             Pb = precond.identity(S).blocks
@@ -90,10 +94,31 @@ def main():
                      t_x * 1e6))
         return t_f, t_x
 
-    # configs 1+2: bundled golden example (BASELINE.md)
+    # config 1: bundled golden example, fp32 (BASELINE.md)
     S, g, _ = golden.system()
     run_config("golden n=2 K=3 identity", S, g, "identity", mi=25)
     run_config("golden n=2 K=3 sym_stair", S, g, "symmetric_stair", mi=25)
+
+    # config 2: golden example, fp64 (examples/pcg_solve_dp.cu shape).
+    # The fused kernel is f32-native; fp64 runs the jnp/XLA backend on the
+    # TPU's emulated f64 path. f64 linalg.inv is unsupported by the TPU
+    # compiler, so the symmetric-stair Phi^-1 is BUILT on the host CPU and
+    # shipped as an explicit operand — the honest split of the fp64 story.
+    err("# running: golden fp64")
+    if True:  # scoped block for the fp64 config's locals
+        from tpcg.types import BlockTridiag
+        S64 = jnp.asarray(np.asarray(S.blocks), jnp.float64)
+        g64 = jnp.asarray(np.asarray(g), jnp.float64)
+        l64 = jnp.zeros_like(g64)
+        with jax.default_device(jax.devices("cpu")[0]):
+            P64 = jnp.asarray(np.asarray(
+                precond.build(BlockTridiag(S64), "symmetric_stair").blocks))
+        f64_fn = lambda S_, P_, g_, l_: jnp_backend.pcg_jnp(
+            S_, P_, g_, l_, exit_tol=1e-12, max_iter=25)
+        r64 = f64_fn(S64, P64, g64, l64)
+        t64 = device_solve_time(f64_fn, S64, P64, g64, l64, repeats=256)
+        rows.append(("golden n=2 K=3 fp64 sym_stair (jnp/XLA)", t64 * 1e6,
+                     int(r64.iters), bool(r64.converged), float("nan")))
 
     # config 3: quadrotor scale
     S, g = trajopt.quadrotor_scale(knot_points=64)
@@ -144,25 +169,50 @@ def main():
             rows.append(("iiwa14 K=128 single-call host latency",
                          disp * 1e6, -1, True, float("nan")))
 
-    # config 5: 256-system batch, n=14, K=128 — grid-batched fused kernel,
-    # pipelined method, preconditioner built in-kernel per system (the
-    # fastest fleet configuration: measured 40% over classic)
-    B, n, K = 256, 14, 128
-    Sb, gb = trajopt.batch_systems(jax.random.PRNGKey(0), B, n, K)
-    l0 = jnp.zeros_like(gb)
+    # config 5: 256-system fleets, n=14, at K=128 and K=32 — the lane-packed
+    # fused kernel (P systems jointly per grid step; at K=32 it also fills
+    # the 75% of lanes a single solve wastes), pipelined method,
+    # preconditioner built in-kernel per system. Baseline: the vmapped
+    # pure-XLA while-loop solver with a prebuilt Phi^-1 — the strongest
+    # batched alternative a JAX user would write.
+    B, n = 256, 14
+    for K_b in (128, 32):
+        err(f"# running: batch K={K_b}")
+        Sb, gb = trajopt.batch_systems(jax.random.PRNGKey(0), B, n, K_b)
+        l0 = jnp.zeros_like(gb)
 
-    def fused_batch(S, P, g, l):
-        return pallas_backend.pcg_pallas_batched(
-            S, None, g, l, exit_tol=1e-6, max_iter=100,
-            precond="symmetric_stair", method="pipelined",
-            interpret=interp)
+        # method per route: pipelined pays off on the lane-packed fused
+        # kernel (one sync point per iteration); on the vmapped-XLA route
+        # (wide fleet, small K) its 4 extra recurrences are pure cost
+        meth_b = "pipelined" if K_b >= 128 else "classic"
 
-    r_b = fused_batch(Sb.blocks, None, gb, l0)
-    t_b = device_solve_time(fused_batch, Sb.blocks, Sb.blocks, gb, l0,
-                            repeats=16, lo_repeats=4, reps=8)
-    rows.append((f"batch B={B} n=14 K=128 pipelined in-kernel (per-system)",
-                 t_b * 1e6 / B, int(np.asarray(r_b.iters).max()),
-                 bool(np.asarray(r_b.converged).all()), float("nan")))
+        def fused_batch(S, P, g, l):
+            # the PUBLIC auto-routed batched API: lane-packed fused kernel
+            # at K>=128, vmapped XLA at wide-fleet small-K (the measured
+            # crossover in tpcg/solver/api.py)
+            import tpcg
+            from tpcg.types import PCGConfig
+            return tpcg.pcg_solve_batched(
+                S, g, l, config=PCGConfig(
+                    exit_tol=1e-6, max_iter=100,
+                    preconditioner="symmetric_stair", method=meth_b))
+
+        r_b = fused_batch(Sb.blocks, None, gb, l0)
+        t_b = device_solve_time(fused_batch, Sb.blocks, Sb.blocks, gb, l0,
+                                repeats=16, lo_repeats=4, reps=8)
+
+        Pb_b = precond.build(Sb, "symmetric_stair").blocks
+        xla_batch = jax.vmap(lambda s, p, g, l: jnp_backend.pcg_jnp(
+            s, p, g, l, exit_tol=1e-6, max_iter=100))
+        xb = xla_batch(Sb.blocks, Pb_b, gb, l0)
+        t_xb = device_solve_time(lambda S, P, g, l: xla_batch(S, P, g, l),
+                                 Sb.blocks, Pb_b, gb, l0,
+                                 repeats=16, lo_repeats=4, reps=8)
+        rows.append((f"batch B={B} n=14 K={K_b} auto-routed {meth_b} "
+                     "(per-system)",
+                     t_b * 1e6 / B, int(np.asarray(r_b.iters).max()),
+                     bool(np.asarray(r_b.converged).all()),
+                     t_xb * 1e6 / B))
 
     err(f"{'config':48s} {'fused_us':>10s} {'iters':>6s} {'conv':>5s} "
         f"{'xla_us':>10s}")

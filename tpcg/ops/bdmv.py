@@ -93,7 +93,7 @@ def _lane_shift_down(x, n, K):
         return jnp.zeros_like(x)  # zero-size slice Mosaic rejects
     shifted = jnp.roll(x, 1, axis=1)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
-    return jnp.where(k_ids == 0, 0, shifted)
+    return jnp.where(k_ids == 0, jnp.zeros_like(shifted), shifted)
 
 
 def _lane_shift_up(x, n, K):
@@ -102,7 +102,7 @@ def _lane_shift_up(x, n, K):
         return jnp.zeros_like(x)
     shifted = jnp.roll(x, -1, axis=1)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, K), 1)
-    return jnp.where(k_ids == K - 1, 0, shifted)
+    return jnp.where(k_ids == K - 1, jnp.zeros_like(shifted), shifted)
 
 
 def bdmv_lane_major(S_lm, x_lm, *, n, K):
@@ -140,12 +140,13 @@ def bdmv_pallas(blocks, x, interpret: bool = False):
     K, n = blocks.shape[-4], blocks.shape[-1]
     S_lm = to_lane_major(blocks)
     x_lm = vec_to_lane_major(x)
-    y_lm = pl.pallas_call(
-        functools.partial(_bdmv_kernel, n=n, K=K),
-        out_shape=jax.ShapeDtypeStruct((n, K), x.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(S_lm, x_lm)
+    with jax.enable_x64(False):
+        y_lm = pl.pallas_call(
+            functools.partial(_bdmv_kernel, n=n, K=K),
+            out_shape=jax.ShapeDtypeStruct((n, K), x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(S_lm, x_lm)
     return jnp.swapaxes(y_lm, -1, -2)

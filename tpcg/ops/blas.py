@@ -62,14 +62,15 @@ def _dot_kernel(a_ref, b_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def dot_pallas(a, b, interpret: bool = False):
     """Scalar dot of two 2D arrays via one Pallas kernel (SMEM scalar out)."""
-    out = pl.pallas_call(
-        _dot_kernel,
-        out_shape=jax.ShapeDtypeStruct((1,), a.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        interpret=interpret,
-    )(a, b)
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _dot_kernel,
+            out_shape=jax.ShapeDtypeStruct((1,), a.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+            interpret=interpret,
+        )(a, b)
     return out[0]
 
 
@@ -81,12 +82,13 @@ def _axpy_kernel(alpha_ref, x_ref, y_ref, out_ref):
 def axpy_pallas(alpha, x, y, interpret: bool = False):
     """out = y + alpha*x for 2D arrays, alpha a scalar."""
     alpha = jnp.asarray(alpha, x.dtype).reshape(1)
-    return pl.pallas_call(
-        _axpy_kernel,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(alpha, x, y)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            _axpy_kernel,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(alpha, x, y)

@@ -242,18 +242,19 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
         kernel = functools.partial(_pcg_kernel_nopinv, **kw)
         in_specs = [_scalar_spec(), vmem, vmem, vmem]
         operands = (tol, S_lm, gamma_lm, lam0_lm)
-    lam, iters, conv, eta = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((n, K), dtype),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
-            jax.ShapeDtypeStruct((1,), dtype),
-        ),
-        in_specs=in_specs,
-        out_specs=(vmem, _scalar_spec(), _scalar_spec(), _scalar_spec()),
-        interpret=interpret,
-    )(*operands)
+    with jax.enable_x64(False):
+        lam, iters, conv, eta = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((n, K), dtype),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+                jax.ShapeDtypeStruct((1,), dtype),
+            ),
+            in_specs=in_specs,
+            out_specs=(vmem, _scalar_spec(), _scalar_spec(), _scalar_spec()),
+            interpret=interpret,
+        )(*operands)
     return lam, iters[0], conv[0] != 0, eta[0]
 
 
@@ -335,17 +336,18 @@ def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     block((3, n, n, K)), block((n, K)), block((n, K))]
         operands = (tol, S_lm, gamma_lm, lam0_lm)
-    lam, iters, conv, eta = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, n, K), dtype),
-            jax.ShapeDtypeStruct((B,), jnp.int32),
-            jax.ShapeDtypeStruct((B,), jnp.int32),
-            jax.ShapeDtypeStruct((B,), dtype),
-        ),
-        in_specs=in_specs,
-        out_specs=(block((n, K)), smem_out, smem_out, smem_out),
-        interpret=interpret,
-    )(*operands)
+    with jax.enable_x64(False):
+        lam, iters, conv, eta = pl.pallas_call(
+            kernel,
+            grid=(B,),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, n, K), dtype),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+                jax.ShapeDtypeStruct((B,), dtype),
+            ),
+            in_specs=in_specs,
+            out_specs=(block((n, K)), smem_out, smem_out, smem_out),
+            interpret=interpret,
+        )(*operands)
     return lam, iters, conv != 0, eta

@@ -96,7 +96,9 @@ def _multirhs_kernel(tol_ref, S_ref, gamma_ref, lam0_ref,
     # scf.while); bool masks are derived as loop-local temporaries
     def cond(c):
         lam, r, p, eta, iters, conv32, step = c
-        return jnp.logical_and(step < max_iter, jnp.sum(conv32) < R)
+        # min-reduce, NOT jnp.sum: integer sums promote to i64 under x64
+        return jnp.logical_and(step < max_iter,
+                               jnp.min(conv32) < jnp.int32(1))
 
     def body(c):
         lam, r, p, eta, iters, conv32, step = c
@@ -148,7 +150,9 @@ def _multirhs_pipelined_loop(mv, apply_pinv, vdot, gamma, lam0, tol,
     def cond(c):
         step = c[-1]
         conv32 = c[-2]
-        return jnp.logical_and(step < max_iter, jnp.sum(conv32) < R)
+        # min-reduce, NOT jnp.sum: integer sums promote to i64 under x64
+        return jnp.logical_and(step < max_iter,
+                               jnp.min(conv32) < jnp.int32(1))
 
     def body(c):
         (x, r, u, w, z, q, s, p, eta_prev, alpha_prev, iters, conv32,
@@ -160,7 +164,7 @@ def _multirhs_pipelined_loop(mv, apply_pinv, vdot, gamma, lam0, tol,
         m = apply_pinv(w)
         nn = mv(m)
         first = step == 0
-        beta = jnp.where(first, 0.0, eta / eta_prev)
+        beta = jnp.where(first, jnp.zeros_like(eta), eta / eta_prev)
         alpha = jnp.where(first, eta / delta,
                           eta / (delta - beta * eta / alpha_prev))
         b3 = beta[:, :, None]
@@ -184,8 +188,9 @@ def _multirhs_pipelined_loop(mv, apply_pinv, vdot, gamma, lam0, tol,
                 z = mv(q)
                 return (x, p, r, u, w, s, q, z)
 
-            do_replace = jnp.logical_and(step % replace_every ==
-                                         replace_every - 1, step > 0)
+            re32 = jnp.int32(replace_every)  # i64-safe under x64
+            do_replace = jnp.logical_and(
+                step % re32 == re32 - jnp.int32(1), step > jnp.int32(0))
             x, p, r, u, w, s, q, z = jax.lax.cond(
                 do_replace, replace, lambda args: args,
                 (x, p, r, u, w, s, q, z))
@@ -231,17 +236,18 @@ def pcg_pallas_multirhs(S_blocks, gamma, lam0, *, exit_tol, max_iter: int,
                                method=method, lean=lean)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    lam, iters, conv, eta = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((R, n, K), dtype),
-            jax.ShapeDtypeStruct((R,), jnp.int32),
-            jax.ShapeDtypeStruct((R,), jnp.int32),
-            jax.ShapeDtypeStruct((R,), dtype),
-        ),
-        in_specs=[smem, vmem, vmem, vmem],
-        out_specs=(vmem, smem, smem, smem),
-        interpret=interpret,
-    )(tol, S_lm, g_lm, l_lm)
+    with jax.enable_x64(False):
+        lam, iters, conv, eta = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((R, n, K), dtype),
+                jax.ShapeDtypeStruct((R,), jnp.int32),
+                jax.ShapeDtypeStruct((R,), jnp.int32),
+                jax.ShapeDtypeStruct((R,), dtype),
+            ),
+            in_specs=[smem, vmem, vmem, vmem],
+            out_specs=(vmem, smem, smem, smem),
+            interpret=interpret,
+        )(tol, S_lm, g_lm, l_lm)
     return PCGResult(lam=jnp.swapaxes(lam, -1, -2), iters=iters,
                      converged=conv != 0, eta=eta)

@@ -50,7 +50,11 @@ def _seg_shift_down(x, n, PK, K):
         return jnp.zeros_like(x)
     shifted = jnp.roll(x, 1, axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (n, PK), 1)
-    return jnp.where(lane % K == 0, 0.0, shifted)
+    # typed int32 scalars: Python-int %/== operands trace as i64 under
+    # jax_enable_x64, which sends Mosaic's lowering into infinite recursion
+    K32 = jnp.int32(K)
+    return jnp.where(lane % K32 == jnp.int32(0), jnp.zeros_like(shifted),
+                     shifted)
 
 
 def _seg_shift_up(x, n, PK, K):
@@ -59,7 +63,9 @@ def _seg_shift_up(x, n, PK, K):
         return jnp.zeros_like(x)
     shifted = jnp.roll(x, -1, axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (n, PK), 1)
-    return jnp.where(lane % K == K - 1, 0.0, shifted)
+    K32 = jnp.int32(K)
+    return jnp.where(lane % K32 == K32 - jnp.int32(1),
+                     jnp.zeros_like(shifted), shifted)
 
 
 def _bdmv_packed(S, x, n, PK, K):
@@ -89,7 +95,8 @@ def _seg_matrix(PK, K, dtype):
     """(PK, PK) one-hot block matrix: SEG[l, m] = 1 if l//K == m//K."""
     li = jax.lax.broadcasted_iota(jnp.int32, (PK, PK), 0)
     mi = jax.lax.broadcasted_iota(jnp.int32, (PK, PK), 1)
-    return (li // K == mi // K).astype(dtype)
+    K32 = jnp.int32(K)  # i64-safe under x64
+    return (li // K32 == mi // K32).astype(dtype)
 
 
 def _pcg_packed_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
@@ -140,11 +147,14 @@ def _pcg_packed_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
             mv, apply_pinv, vdot_seg, gamma, lam0, tol, max_iter, PK)
 
     lam_ref[...] = lam
-    b = pl.program_id(0)
+    # typed int32 index arithmetic (Python-int operands promote the result
+    # to i64 under jax_enable_x64, which Mosaic cannot return)
+    base = pl.program_id(0) * jnp.int32(P)
     for p in range(P):  # SMEM stores are scalar-at-a-time; once per solve
-        iters_ref[b * P + p] = iters_v[0, p * K]
-        conv_ref[b * P + p] = conv_v[0, p * K]
-        eta_ref[b * P + p] = eta_v[0, p * K]
+        idx = base + jnp.int32(p)
+        iters_ref[idx] = iters_v[0, p * K]
+        conv_ref[idx] = conv_v[0, p * K]
+        eta_ref[idx] = eta_v[0, p * K]
 
 
 def _packed_classic_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
@@ -158,12 +168,14 @@ def _packed_classic_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
 
     def cond(c):
         lam, r, p, eta, iters, conv32, step = c
+        # min-reduce, NOT jnp.sum: integer sums promote to i64 under
+        # jax_enable_x64 regardless of the dtype= argument
         return jnp.logical_and(step < max_iter,
-                               jnp.sum(1 - conv32) > 0)
+                               jnp.min(conv32) < jnp.int32(1))
 
     def body(c):
         lam, r, p, eta, iters, conv32, step = c
-        active = conv32 == 0                    # (1, PK) bool
+        active = conv32 == jnp.int32(0)         # (1, PK) bool
         ups = mv(p)
         alpha = eta / vdot_seg(p, ups)
         lam = jnp.where(active, lam + alpha * p, lam)
@@ -197,12 +209,12 @@ def _packed_pipelined_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
 
     def cond(c):
         return jnp.logical_and(c[-1] < max_iter,
-                               jnp.sum(1 - c[-2]) > 0)
+                               jnp.min(c[-2]) < jnp.int32(1))
 
     def body(c):
         (x, r, u, w, z, q, s, p, eta_prev, alpha_prev, iters, conv32,
          step) = c
-        active = conv32 == 0
+        active = conv32 == jnp.int32(0)
         eta = jnp.where(active, vdot_seg(r, u), eta_prev)
         delta = vdot_seg(w, u)
         m = apply_pinv(w)
@@ -232,10 +244,12 @@ def _packed_pipelined_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
 
             # scalar cadence; eta guard as in tpcg/solver/pipelined.py —
             # replacements near convergence inject fp32 noise-floor error
+            re32 = jnp.int32(replace_every)  # i64-safe under x64
             do_replace = jnp.logical_and(
-                step % replace_every == replace_every - 1, step > 0)
+                step % re32 == re32 - jnp.int32(1), step > jnp.int32(0))
+            from tpcg.solver.pipelined import all_true
             do_replace = jnp.logical_and(
-                do_replace, jnp.all(jnp.abs(eta) > 1000.0 * tol))
+                do_replace, all_true(jnp.abs(eta) > 1000.0 * tol))
             x, p, r, u, w, s, q, z = jax.lax.cond(
                 do_replace, replace, lambda args: args,
                 (x, p, r, u, w, s, q, z))
@@ -329,9 +343,11 @@ def pad_systems(S_blocks, Pinv_blocks, gamma, lam0, K_pad: int, B_pad: int):
     """Apply the plan_pack padding: identity tail blocks along K, dummy
     identity systems along B, zeros in gamma/lam0."""
     B, K, _, n, _ = S_blocks.shape
-    eye = jnp.broadcast_to(
-        jnp.eye(n, dtype=S_blocks.dtype)[None, None, :, :],
-        (1, 1, n, n))
+    # identity via int32 iota, not jnp.eye: eye lowers through an i64 iota
+    # under jax_enable_x64, which the TPU AOT compiler rejects
+    ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (ri == ci).astype(S_blocks.dtype)[None, None, :, :]
 
     def pad_blocks(blocks):
         if K_pad > K:
@@ -433,14 +449,15 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                     block((n, PK))]
         operands = (tol, S_p, gamma_p, lam0_p)
 
-    lam_p, iters, conv, eta = pl.pallas_call(
-        kernel,
-        grid=(G,),
-        out_shape=out_shape,
-        in_specs=in_specs,
-        out_specs=(block((n, PK)), smem, smem, smem),
-        interpret=interpret,
-    )(*operands)
+    with jax.enable_x64(False):
+        lam_p, iters, conv, eta = pl.pallas_call(
+            kernel,
+            grid=(G,),
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=(block((n, PK)), smem, smem, smem),
+            interpret=interpret,
+        )(*operands)
 
     # unpack (G, n, P*K) -> (B, K, n)
     lam = jnp.moveaxis(lam_p.reshape(G, n, P, K), -2, 1).reshape(B, n, K)

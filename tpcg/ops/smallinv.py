@@ -24,6 +24,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _eye_pages(n: int, K: int, dtype):
+    """(n, n, K) stack of identity matrices built from int32 iota — NOT
+    jnp.eye, which lowers through a 64-bit iota under jax_enable_x64 and
+    aborts the Mosaic compiler inside kernels."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 1)
+    return (r == c).astype(dtype)
+
+
 def gj_inverse_lane_major(M, n: int, K: int, unroll: bool = True):
     """Invert K matrices stored lane-major: ``M (n, n, K)`` with
     ``M[r, c, k]`` = entry (r, c) of matrix k. Returns ``(n, n, K)``.
@@ -44,8 +53,7 @@ def gj_inverse_lane_major(M, n: int, K: int, unroll: bool = True):
     """
     if unroll:
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 0)
-        inv = jnp.broadcast_to(
-            jnp.eye(n, dtype=M.dtype)[:, :, None], (n, n, K)).astype(M.dtype)
+        inv = _eye_pages(n, K, M.dtype)
         for i in range(n):
             is_row_i = row_ids == i                   # (n, n, K) mask
             inv_piv = 1.0 / M[i, i, :]                # (K,)
@@ -53,34 +61,38 @@ def gj_inverse_lane_major(M, n: int, K: int, unroll: bool = True):
             M = jnp.where(is_row_i, M * scale, M)
             inv = jnp.where(is_row_i, inv * scale, inv)
             # eliminate column i from every other row
+            col_full = M[:, i, :]                 # (n, K), row i zeroed
             col = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, (n, K), 0) == i, 0.0,
-                M[:, i, :])                           # (n, K), row i zeroed
+                jax.lax.broadcasted_iota(jnp.int32, (n, K), 0) == i,
+                jnp.zeros_like(col_full), col_full)
             M = M - col[:, None, :] * M[i, :, :][None, :, :]
             inv = inv - col[:, None, :] * inv[i, :, :][None, :, :]
         return inv
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 0)
     col_ids3 = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 1)
-    inv0 = jnp.broadcast_to(
-        jnp.eye(n, dtype=M.dtype)[:, :, None], (n, n, K)).astype(M.dtype)
+    inv0 = _eye_pages(n, K, M.dtype)
 
     def step(i, carry):
         M, inv = carry
         is_row_i = row_ids == i                       # (n, n, K) mask
         # pivot M[i, i, :] by masked reduction (no scalar dynamic indexing)
         diag_mask = jnp.logical_and(is_row_i, col_ids3 == i)
-        piv = jnp.sum(jnp.where(diag_mask, M, 0.0), axis=(0, 1))   # (K,)
+        piv = jnp.sum(jnp.where(diag_mask, M, jnp.zeros_like(M)),
+                      axis=(0, 1))                             # (K,)
         scale = (1.0 / piv)[None, None, :]
         M = jnp.where(is_row_i, M * scale, M)
         inv = jnp.where(is_row_i, inv * scale, inv)
         # row i of M/inv as (n, K) pages, again by masked reduction
-        Mi = jnp.sum(jnp.where(is_row_i, M, 0.0), axis=0)          # (n, K)
-        invi = jnp.sum(jnp.where(is_row_i, inv, 0.0), axis=0)
+        Mi = jnp.sum(jnp.where(is_row_i, M, jnp.zeros_like(M)),
+                     axis=0)                                    # (n, K)
+        invi = jnp.sum(jnp.where(is_row_i, inv, jnp.zeros_like(inv)),
+                       axis=0)
         # column i of M as an (n, K) page, with row i zeroed
-        col_full = jnp.sum(jnp.where(col_ids3 == i, M, 0.0), axis=1)
+        col_full = jnp.sum(jnp.where(col_ids3 == i, M,
+                                     jnp.zeros_like(M)), axis=1)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, K), 0)
-        col = jnp.where(col_ids == i, 0.0, col_full)
+        col = jnp.where(col_ids == i, jnp.zeros_like(col_full), col_full)
         M = M - col[:, None, :] * Mi[None, :, :]
         inv = inv - col[:, None, :] * invi[None, :, :]
         return (M, inv)
@@ -114,7 +126,7 @@ def shift_mats_down(D, n: int, K: int):
         return jnp.zeros_like(D)
     rolled = jnp.roll(D, 1, axis=2)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 2)
-    return jnp.where(k_ids == 0, 0.0, rolled)
+    return jnp.where(k_ids == 0, jnp.zeros_like(rolled), rolled)
 
 
 def shift_mats_up(D, n: int, K: int):
@@ -123,7 +135,7 @@ def shift_mats_up(D, n: int, K: int):
         return jnp.zeros_like(D)
     rolled = jnp.roll(D, -1, axis=2)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n, K), 2)
-    return jnp.where(k_ids == K - 1, 0.0, rolled)
+    return jnp.where(k_ids == K - 1, jnp.zeros_like(rolled), rolled)
 
 
 def apply_symmetric_stair_factored(S_lm, Dinv_t, v, n: int, K: int):

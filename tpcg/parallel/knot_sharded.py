@@ -307,7 +307,7 @@ def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
             m = apply_pinv(w)
             nn = smv(m)
             first = step == 0  # iters == step while a system is active
-            beta = jnp.where(first, 0.0, eta / eta_prev)
+            beta = jnp.where(first, jnp.zeros_like(eta), eta / eta_prev)
             alpha = jnp.where(
                 first, eta / delta,
                 eta / (delta - beta * eta / alpha_prev))
@@ -333,8 +333,9 @@ def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
 
                 # scalar cadence (same trip count fleet-wide; halted
                 # systems' recomputed auxiliaries are unused)
+                re32 = jnp.int32(replace_every)  # i64-safe under x64
                 do_replace = jnp.logical_and(
-                    step % replace_every == replace_every - 1, step > 0)
+                    step % re32 == re32 - jnp.int32(1), step > jnp.int32(0))
                 x, p, r, u, w, s, q, z = jax.lax.cond(
                     do_replace, replace, lambda args: args,
                     (x, p, r, u, w, s, q, z))

@@ -45,6 +45,15 @@ from tpcg.ops.bdmv import bdmv
 from tpcg.types import PCGResult
 
 
+def all_true(b):
+    """x64-safe jnp.all for kernel-shared code: jnp.all's lowering traces
+    an f64 scalar that Mosaic rejects under jax_enable_x64 (probed on
+    hardware); an int32 min-reduce lowers cleanly in both modes."""
+    if b.ndim == 0:
+        return b
+    return jnp.min(b.astype(jnp.int32)) == jnp.int32(1)
+
+
 class _Carry(NamedTuple):
     x: jax.Array
     r: jax.Array
@@ -94,7 +103,7 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
         go = jnp.logical_and(c.iters < max_iter,
                              jnp.logical_not(c.converged))
         if stop_on_nonfinite:
-            go = jnp.logical_and(go, jnp.all(jnp.isfinite(c.eta_prev)))
+            go = jnp.logical_and(go, all_true(jnp.isfinite(c.eta_prev)))
         return go
 
     def body(c: _Carry):
@@ -103,7 +112,7 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
         m = apply_pinv(c.w)
         nn = mv(m)
         first = c.iters == 0
-        beta = jnp.where(first, 0.0, eta / c.eta_prev)
+        beta = jnp.where(first, jnp.zeros_like(eta), eta / c.eta_prev)
         alpha = jnp.where(
             first, eta / delta,
             eta / (delta - beta * eta / c.alpha_prev))
@@ -133,16 +142,20 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
             # recomputed r = gamma - S x sits at the fp32 noise floor there,
             # and the recurrence inherits garbage eta ratios. Early firings
             # (eta large) are exactly the ones that fix the K=512 drift.
-            do_replace = jnp.logical_and(c.iters % replace_every ==
-                                         replace_every - 1, c.iters > 0)
+            # typed int32 scalars: Python-int operands of %/== trace as
+            # i64 under jax_enable_x64, which Mosaic rejects in-kernel
+            re32 = jnp.int32(replace_every)
             do_replace = jnp.logical_and(
-                do_replace, jnp.all(jnp.abs(eta) > 1000.0 * exit_tol))
+                c.iters % re32 == re32 - jnp.int32(1),
+                c.iters > jnp.int32(0))
+            do_replace = jnp.logical_and(
+                do_replace, all_true(jnp.abs(eta) > 1000.0 * exit_tol))
             x, p, r, u, w, s, q, z = jax.lax.cond(
                 do_replace, replace, lambda args: args,
                 (x, p, r, u, w, s, q, z))
         # exit on the NEXT eta (computed top of next pass) — test the
         # current one here so the reported count includes this pass
-        converged = jnp.all(jnp.abs(eta) < exit_tol)
+        converged = all_true(jnp.abs(eta) < exit_tol)
         return _Carry(x, r, u, w, z, q, s, p, eta, alpha,
                       c.iters + 1, converged)
 
@@ -153,7 +166,7 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
     init = _Carry(lam0, r, u, w, zeros, zeros, zeros, zeros,
                   eta0, jnp.ones_like(eta0) * one,
                   jnp.zeros((), jnp.int32),
-                  jnp.all(jnp.abs(eta0) < exit_tol))
+                  all_true(jnp.abs(eta0) < exit_tol))
     out = jax.lax.while_loop(cond, body, init)
     return out.x, out.iters, out.converged, out.eta_prev
 

@@ -164,3 +164,53 @@ def test_iteration_counts_comparable_to_scipy_cg():
     # same Krylov method, same operator: counts must be in the same ballpark
     assert abs(int(res.iters) - counter["n"]) <= max(3, counter["n"] // 4), (
         int(res.iters), counter["n"])
+
+
+def test_precond_refine_cuts_iterations():
+    """Neumann refinement of the preconditioner apply must reduce iteration
+    counts monotonically-ish and produce the same solution (the measured
+    motivation: fewer iterations = fewer psum rounds when sharded)."""
+    from tpcg.models import trajopt
+
+    S, g = trajopt.iiwa14_scale(knot_points=64)
+    prev_iters = None
+    for d in (0, 1, 2):
+        cfg = PCGConfig(exit_tol=1e-6, max_iter=200,
+                        preconditioner="symmetric_stair",
+                        precond_refine=d)
+        r = pcg_solve(S, g, config=cfg, backend="jnp")
+        assert bool(r.converged)
+        if prev_iters is not None:
+            assert int(r.iters) < prev_iters, (d, int(r.iters), prev_iters)
+        prev_iters = int(r.iters)
+        # the absolute eta test measures r . M^-1 r, and M^-1 differs per
+        # d — so compare on the actual residual, not lam-vs-lam
+        resid = np.asarray(bdmv(S.blocks, r.lam) - g)
+        rel = np.linalg.norm(resid) / np.linalg.norm(np.asarray(g))
+        assert rel < 1e-3, (d, rel)
+
+
+def test_precond_refine_fused_matches_jnp():
+    """Fused kernel (interpret) and jnp backend agree on iteration counts
+    with refinement enabled."""
+    from tpcg.solver import jnp_backend, pallas_backend
+    from tpcg import precond as precond_mod
+
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(17), 5, 16,
+                               dtype=jnp.float32)
+    g = jnp.ones((16, 5), jnp.float32)
+    l0 = jnp.zeros_like(g)
+    Pb = precond_mod.build(S, "block_jacobi").blocks
+    r_j = jnp_backend.pcg_jnp(S.blocks, Pb, g, l0, exit_tol=1e-7,
+                              max_iter=200, precond_refine=2)
+    r_p = pallas_backend.pcg_pallas(S.blocks, Pb, g, l0, exit_tol=1e-7,
+                                    max_iter=200, precond_refine=2,
+                                    interpret=True)
+    assert abs(int(r_j.iters) - int(r_p.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(r_j.lam), np.asarray(r_p.lam),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_precond_refine_rejected_negative():
+    with pytest.raises(ValueError, match="precond_refine"):
+        PCGConfig(precond_refine=-1)

@@ -280,3 +280,29 @@ def test_knot_sharded_batched_rejects_unknown_method():
         pcg_knot_sharded_batched(blocks, blocks, v, v, mesh=mesh,
                                  exit_tol=1e-6, max_iter=10,
                                  method="nope")
+
+
+def test_knot_sharded_precond_refine_matches_oracle():
+    """Refined preconditioner under shard_map: iteration count matches the
+    single-device refined oracle and drops vs the unrefined solve."""
+    from tpcg.parallel.knot_sharded import pcg_knot_sharded
+
+    n, K = 5, 32
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(23), n, K,
+                               dtype=jnp.float64)
+    gamma = jnp.ones((K, n), jnp.float64)
+    Pb = precond.build(S, "block_jacobi").blocks
+    mesh = _mesh(4, "knot")
+    r0 = pcg_knot_sharded(S.blocks, Pb, gamma, jnp.zeros_like(gamma),
+                          mesh=mesh, exit_tol=1e-12, max_iter=300)
+    r2 = pcg_knot_sharded(S.blocks, Pb, gamma, jnp.zeros_like(gamma),
+                          mesh=mesh, exit_tol=1e-12, max_iter=300,
+                          precond_refine=2)
+    r2_1dev = jnp_backend.pcg_jnp(S.blocks, Pb, gamma,
+                                  jnp.zeros_like(gamma), exit_tol=1e-12,
+                                  max_iter=300, precond_refine=2)
+    assert bool(r2.converged)
+    assert int(r2.iters) < int(r0.iters)
+    assert int(r2.iters) == int(r2_1dev.iters)
+    np.testing.assert_allclose(np.asarray(r2.lam), np.asarray(r2_1dev.lam),
+                               rtol=1e-9, atol=1e-10)

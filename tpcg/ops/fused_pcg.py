@@ -70,7 +70,8 @@ def _apply_stair_from_ref(S_ref, Dinv_t, v, n, K):
 def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                 lam_ref, iters_ref, conv_ref, eta_ref,
                 *, n, K, max_iter, precond, stop_on_nonfinite=False,
-                method="classic", out_idx=0, lean=False):
+                method="classic", out_idx=0, lean=False,
+                precond_refine=0):
     """Kernel body.
 
     ``precond`` selects the preconditioner strategy:
@@ -129,6 +130,17 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         apply_pinv = lambda v: stair(Dinv_t, v)
     else:
         raise ValueError(f"bad precond {precond!r}")
+
+    if precond_refine and precond != "identity":
+        # Neumann refinement: z <- z + Pinv (v - S z) — stronger effective
+        # preconditioner, fewer iterations (PCGConfig.precond_refine doc)
+        base_pinv = apply_pinv
+
+        def apply_pinv(v):
+            z = base_pinv(v)
+            for _ in range(precond_refine):
+                z = z + base_pinv(v - mv(z))
+            return z
 
     vdot = lambda a, b: jnp.sum(a * b)
 
@@ -202,11 +214,12 @@ def _pcg_kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref, *out_refs, **kw):
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond",
                                     "stop_on_nonfinite", "method",
-                                    "lean", "interpret"))
+                                    "lean", "precond_refine", "interpret"))
 def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
                          exit_tol, max_iter: int, precond: str = None,
                          stop_on_nonfinite: bool = False,
                          method: str = "classic", lean: bool = False,
+                         precond_refine: int = 0,
                          interpret: bool = False):
     """Run the fused solve on lane-major inputs.
 
@@ -232,7 +245,8 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
     tol = jnp.asarray([exit_tol], dtype=dtype)
 
     kw = dict(n=n, K=K, max_iter=max_iter, precond=precond, method=method,
-              stop_on_nonfinite=stop_on_nonfinite, lean=lean)
+              stop_on_nonfinite=stop_on_nonfinite, lean=lean,
+              precond_refine=precond_refine)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if precond == "explicit":
         kernel = functools.partial(_pcg_kernel, **kw)

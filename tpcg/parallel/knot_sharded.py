@@ -71,12 +71,13 @@ class _Carry(NamedTuple):
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis_name", "max_iter",
                                     "identity_pinv", "method",
-                                    "stop_on_nonfinite"))
+                                    "stop_on_nonfinite", "precond_refine"))
 def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
                      axis_name: str = "knot", exit_tol, max_iter: int,
                      identity_pinv: bool = False,
                      method: str = "classic",
-                     stop_on_nonfinite: bool = False) -> PCGResult:
+                     stop_on_nonfinite: bool = False,
+                     precond_refine: int = 0) -> PCGResult:
     """Full PCG with the knot axis sharded over ``mesh[axis_name]``.
 
     Inputs are global-shape canonical arrays (``(K, 3, n, n)`` / ``(K, n)``);
@@ -89,6 +90,12 @@ def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
     grid.sync+reduce rounds, pcg.cuh:163-169,187-193); the pipelined loop
     pays one, and XLA can overlap it with the independent
     preconditioner/SpMV applications.
+
+    ``precond_refine`` is the other ICI lever: each Neumann refinement of
+    the preconditioner apply costs only LOCAL work plus cheap (1, n)
+    ppermute halos, while cutting the number of iterations — and with them
+    the expensive psum rounds (measured iteration counts at iiwa14 K=128:
+    34 -> 24/20/17 at 1/2/3 steps).
     """
     nd = mesh.shape[axis_name]
     K = gamma.shape[-2]
@@ -103,8 +110,14 @@ def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
 
     def solve_local(S_loc, P_loc, g_loc, l_loc):
         tol = jnp.asarray(exit_tol, g_loc.dtype)
-        apply_pinv = ((lambda v: v) if identity_pinv
-                      else (lambda v: mv(P_loc, v)))
+
+        def apply_pinv(v):
+            if identity_pinv:
+                return v
+            z = mv(P_loc, v)
+            for _ in range(precond_refine):
+                z = z + mv(P_loc, v - mv(S_loc, z))
+            return z
 
         if method == "pipelined":
             from tpcg.solver.pipelined import pipelined_pcg_body
@@ -156,14 +169,15 @@ def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis_name", "batch_axis_name",
                                     "max_iter", "identity_pinv", "method",
-                                    "stop_on_nonfinite"))
+                                    "stop_on_nonfinite", "precond_refine"))
 def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
                              mesh: Mesh, axis_name: str = "knot",
                              batch_axis_name: Optional[str] = "batch",
                              exit_tol, max_iter: int,
                              identity_pinv: bool = False,
                              method: str = "classic",
-                             stop_on_nonfinite: bool = False) -> PCGResult:
+                             stop_on_nonfinite: bool = False,
+                             precond_refine: int = 0) -> PCGResult:
     """Fleet of B systems, each with its knot axis sharded: the 2D-mesh
     (batch x knot) composition — batch is the zero-communication DCN-friendly
     axis, knot halos/reductions ride ICI.
@@ -231,11 +245,20 @@ def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
                 jnp.isfinite(eta)))
         return converged
 
+    def refined_pinv(S_loc, P_loc):
+        def apply_pinv(v):
+            if identity_pinv:
+                return v
+            z = mv(P_loc, v)
+            for _ in range(precond_refine):
+                z = z + mv(P_loc, v - mv(S_loc, z))
+            return z
+        return apply_pinv
+
     def solve_classic_local(S_loc, P_loc, g_loc, l_loc):
         tol = jnp.asarray(exit_tol, g_loc.dtype)
         B_loc = g_loc.shape[0]
-        apply_pinv = ((lambda v: v) if identity_pinv
-                      else (lambda v: mv(P_loc, v)))
+        apply_pinv = refined_pinv(S_loc, P_loc)
 
         r = g_loc - mv(S_loc, l_loc)
         rt = apply_pinv(r)
@@ -282,8 +305,7 @@ def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
         # per-system freeze masks; both dots share ONE psum round.
         tol = jnp.asarray(exit_tol, g_loc.dtype)
         B_loc = g_loc.shape[0]
-        apply_pinv = ((lambda v: v) if identity_pinv
-                      else (lambda v: mv(P_loc, v)))
+        apply_pinv = refined_pinv(S_loc, P_loc)
         smv = lambda v: mv(S_loc, v)
         replace_every = 16
 
@@ -405,4 +427,5 @@ def pcg_solve_sharded(S, gamma, lam0=None, *, mesh: Mesh,
                             axis_name=axis_name, exit_tol=config.exit_tol,
                             max_iter=config.max_iter,
                             identity_pinv=identity, method=config.method,
-                            stop_on_nonfinite=config.stop_on_nonfinite)
+                            stop_on_nonfinite=config.stop_on_nonfinite,
+                            precond_refine=config.precond_refine)

@@ -108,7 +108,8 @@ def pcg_solve(S, gamma, lam0=None, *,
             S.blocks, pblocks, gamma, lam0,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
             identity_pinv=identity,
-            stop_on_nonfinite=config.stop_on_nonfinite)
+            stop_on_nonfinite=config.stop_on_nonfinite,
+            precond_refine=config.precond_refine)
     else:
         from tpcg.solver import pallas_backend
         pinv_blocks = None if (identity or in_kernel) else Pinv.blocks
@@ -117,7 +118,7 @@ def pcg_solve(S, gamma, lam0=None, *,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
             precond=config.preconditioner if in_kernel else None,
             stop_on_nonfinite=config.stop_on_nonfinite,
-            method=config.method)
+            method=config.method, precond_refine=config.precond_refine)
 
 
 def pcg_solve_batched(S, gamma, lam0=None, *,

@@ -66,16 +66,23 @@ def classic_pcg_step(S_blocks, apply_pinv, lam, r, p, eta):
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
-                                              "stop_on_nonfinite"))
+                                              "stop_on_nonfinite",
+                                              "precond_refine"))
 def pcg_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
             max_iter: int, identity_pinv: bool = False,
-            stop_on_nonfinite: bool = False) -> PCGResult:
+            stop_on_nonfinite: bool = False,
+            precond_refine: int = 0) -> PCGResult:
     """Run PCG to the reference's semantics. All arrays canonical layout:
     ``S_blocks``/``Pinv_blocks`` ``(K, 3, n, n)``, vectors ``(K, n)``.
 
     With ``identity_pinv=True`` the preconditioner multiply is elided
     (``r_tilde = r``) — the fast path the reference's ``empty_pinv`` flag
     promised but never delivered (SURVEY.md §3.1).
+
+    ``precond_refine > 0`` applies Neumann refinement steps
+    ``z <- z + Pinv (v - S z)`` per preconditioner apply — a stronger
+    effective preconditioner that cuts iteration counts (PCGConfig doc);
+    this is the oracle for the sharded solver's use of it.
     """
     S = BlockTridiag(S_blocks)
     exit_tol = jnp.asarray(exit_tol, dtype=gamma.dtype)
@@ -83,7 +90,10 @@ def pcg_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     def apply_pinv(v):
         if identity_pinv:
             return v
-        return bdmv(Pinv_blocks, v)
+        z = bdmv(Pinv_blocks, v)
+        for _ in range(precond_refine):
+            z = z + bdmv(Pinv_blocks, v - bdmv(S_blocks, z))
+        return z
 
     # --- init (pcg.cuh:118-149) ---
     r = gamma - bdmv(S.blocks, lam0)

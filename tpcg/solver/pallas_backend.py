@@ -19,10 +19,11 @@ from tpcg.types import PCGResult
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond",
                                     "stop_on_nonfinite", "method",
-                                    "interpret"))
+                                    "precond_refine", "interpret"))
 def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                max_iter: int, precond: str = None,
                stop_on_nonfinite: bool = False, method: str = "classic",
+               precond_refine: int = 0,
                interpret: bool = False) -> PCGResult:
     """Single-system fused solve; canonical layout in/out.
 
@@ -44,7 +45,7 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
         S_lm, Pinv_lm, gamma_lm, lam0_lm, exit_tol=exit_tol,
         max_iter=max_iter, precond=precond, method=method,
         stop_on_nonfinite=stop_on_nonfinite, lean=lean,
-        interpret=interpret)
+        precond_refine=precond_refine, interpret=interpret)
     return PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
                      converged=conv, eta=eta)
 

@@ -172,15 +172,23 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
-                                             "stop_on_nonfinite"))
+                                             "stop_on_nonfinite",
+                                             "precond_refine"))
 def pcg_pipelined_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                       max_iter: int, identity_pinv: bool = False,
-                      stop_on_nonfinite: bool = False) -> PCGResult:
+                      stop_on_nonfinite: bool = False,
+                      precond_refine: int = 0) -> PCGResult:
     """Pipelined method on the jnp backend (oracle for the fused version)."""
     exit_tol = jnp.asarray(exit_tol, gamma.dtype)
     mv = lambda v: bdmv(S_blocks, v)
-    apply_pinv = (lambda v: v) if identity_pinv else (
-        lambda v: bdmv(Pinv_blocks, v))
+
+    def apply_pinv(v):
+        if identity_pinv:
+            return v
+        z = bdmv(Pinv_blocks, v)
+        for _ in range(precond_refine):
+            z = z + bdmv(Pinv_blocks, v - mv(z))
+        return z
     vdot = lambda a, b: jnp.sum(a * b)
     x, iters, conv, eta = pipelined_pcg_body(
         mv, apply_pinv, vdot, gamma, lam0, exit_tol, max_iter,

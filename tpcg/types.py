@@ -71,6 +71,15 @@ class PCGConfig:
     #: method with its own iteration counts, offered for latency.
     method: str = dataclasses.field(default="classic",
                                     metadata=dict(static=True))
+    #: Neumann refinement of the preconditioner apply:
+    #: ``z <- z + Pinv (v - S z)``, ``precond_refine`` times per apply.
+    #: Measured at iiwa14 K=128: iterations 34 -> 24/20/17 at 1/2/3 steps.
+    #: On ONE core this is a wash (each step adds a full SpMV+apply of
+    #: vector work), but on the SHARDED solver iterations cost psum
+    #: latency over ICI, so fewer iterations at more local work is the
+    #: right trade. 0 = plain apply (the parity default).
+    precond_refine: int = dataclasses.field(default=0,
+                                            metadata=dict(static=True))
 
     def __post_init__(self):
         if self.preconditioner not in PRECONDITIONER_KINDS:
@@ -82,6 +91,9 @@ class PCGConfig:
         if self.method not in ("classic", "pipelined"):
             raise ValueError(f"method must be 'classic' or 'pipelined', "
                              f"got {self.method!r}")
+        if int(self.precond_refine) < 0:
+            raise ValueError(f"precond_refine must be >= 0, "
+                             f"got {self.precond_refine}")
 
 
 class PCGResult(NamedTuple):

@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpcg import PCGConfig, layout, pcg_solve
+from tpcg import PCGConfig, layout, pcg_solve, precond
 from tpcg.utils import diagnostics
 
 
@@ -80,3 +80,28 @@ def test_eta_history_stop_on_nonfinite_matches_solver():
     first_bad = int(np.argmax(~np.isfinite(e)))
     assert first_bad <= int(res.iters) + 1
     assert not np.isfinite(e[-1])
+
+
+def test_eta_history_pipelined_matches_solver():
+    """Pipelined eta curve: iterations-to-tolerance from the curve must
+    match the pipelined solver's reported count, and the returned lam must
+    match the solver's solution (same recurrence, scan vs while)."""
+    from tpcg.solver.pipelined import pcg_pipelined_jnp
+
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(31), 4, 16,
+                               dtype=jnp.float64)
+    gamma = jnp.ones((16, 4), jnp.float64)
+    cfg = PCGConfig(exit_tol=1e-10, max_iter=100,
+                    preconditioner="block_jacobi", method="pipelined")
+    lam, etas = diagnostics.eta_history(S, gamma, config=cfg)
+    pb = precond.build(S, "block_jacobi").blocks
+    r = pcg_pipelined_jnp(S.blocks, pb, gamma, jnp.zeros((16, 4),
+                                                         jnp.float64),
+                          exit_tol=1e-10, max_iter=100)
+    assert bool(r.converged)
+    k = diagnostics.iterations_to_tolerance(etas, 1e-10)
+    assert k == int(r.iters)
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(r.lam),
+                               rtol=1e-9, atol=1e-10)
+    # curve is flat after exit
+    assert np.allclose(np.asarray(etas[k:]), np.asarray(etas[k]))

@@ -10,7 +10,9 @@ fused_pcg.py). This module exposes them as standalone ops — both as jnp
 functions (usable inside any Pallas kernel body or XLA graph) and as
 self-contained Pallas kernels — so downstream consumers porting
 GLASS-flavored code find the same vocabulary, and so each primitive is
-independently testable against the oracle (SURVEY.md §4).
+independently testable against the oracle (SURVEY.md §4). ``axpy`` is
+load-bearing: the jnp backend's canonical ``classic_pcg_step`` (shared by
+the solver and the diagnostics scan) builds its vector updates from it.
 
 Note what is NOT here: the reference needs ``reduce`` only because each
 thread-block posts a partial dot to global scratch and re-reduces after a

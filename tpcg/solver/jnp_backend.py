@@ -33,6 +33,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from tpcg.ops import blas
 from tpcg.ops.bdmv import bdmv
 from tpcg.types import BlockTridiag, PCGResult
 
@@ -53,15 +54,18 @@ def _vdot(a, b):
 def classic_pcg_step(S_blocks, apply_pinv, lam, r, p, eta):
     """One classic PCG iteration (pcg.cuh:157-206 order), shared by the
     solver loop and the diagnostics scan so the reference-parity algorithm
-    has exactly one implementation. Returns (lam, r, p, eta_new)."""
+    has exactly one implementation. The vector updates go through the
+    GLASS-vocabulary primitives (tpcg/ops/blas.py) — the same role
+    glass::dot / the strided AXPY loops play in the reference kernel.
+    Returns (lam, r, p, eta_new)."""
     ups = bdmv(S_blocks, p)                      # upsilon = S p
     alpha = eta / _vdot(p, ups)                  # pcg.cuh:163-169
-    lam = lam + alpha * p                        # pcg.cuh:172-176
-    r = r - alpha * ups
+    lam = blas.axpy(alpha, p, lam)               # pcg.cuh:172-176
+    r = blas.axpy(-alpha, ups, r)
     r_tilde = apply_pinv(r)                      # pcg.cuh:181-184
     eta_new = _vdot(r, r_tilde)                  # pcg.cuh:187-193
     beta = eta_new / eta                         # pcg.cuh:199-206
-    p = r_tilde + beta * p
+    p = blas.axpy(beta, p, r_tilde)
     return lam, r, p, eta_new
 
 

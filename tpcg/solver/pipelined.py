@@ -106,58 +106,8 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
             go = jnp.logical_and(go, all_true(jnp.isfinite(c.eta_prev)))
         return go
 
-    def body(c: _Carry):
-        eta = vdot(c.r, c.u)
-        delta = vdot(c.w, c.u)          # both dots at one sync point
-        m = apply_pinv(c.w)
-        nn = mv(m)
-        first = c.iters == 0
-        beta = jnp.where(first, jnp.zeros_like(eta), eta / c.eta_prev)
-        alpha = jnp.where(
-            first, eta / delta,
-            eta / (delta - beta * eta / c.alpha_prev))
-        z = nn + beta * c.z
-        q = m + beta * c.q
-        s = c.w + beta * c.s
-        p = c.u + beta * c.p
-        x = c.x + alpha * p
-        r = c.r - alpha * s
-        u = c.u - alpha * q
-        w = c.w - alpha * z
-        if replace_every:
-            def replace(args):
-                x, p, *_ = args
-                r = gamma - mv(x)
-                u = apply_pinv(r)
-                w = mv(u)
-                s = mv(p)
-                q = apply_pinv(s)
-                z = mv(q)
-                return (x, p, r, u, w, s, q, z)
-
-            # Guard: only replace while eta is far from the exit tolerance.
-            # Measured on chip (iiwa14 n=14): an UNGUARDED replacement firing
-            # near convergence (cadence 32 -> first fire at iter 31, eta
-            # ~1e-5) stagnates the solve at BOTH K=128 and K=512 — the
-            # recomputed r = gamma - S x sits at the fp32 noise floor there,
-            # and the recurrence inherits garbage eta ratios. Early firings
-            # (eta large) are exactly the ones that fix the K=512 drift.
-            # typed int32 scalars: Python-int operands of %/== trace as
-            # i64 under jax_enable_x64, which Mosaic rejects in-kernel
-            re32 = jnp.int32(replace_every)
-            do_replace = jnp.logical_and(
-                c.iters % re32 == re32 - jnp.int32(1),
-                c.iters > jnp.int32(0))
-            do_replace = jnp.logical_and(
-                do_replace, all_true(jnp.abs(eta) > 1000.0 * exit_tol))
-            x, p, r, u, w, s, q, z = jax.lax.cond(
-                do_replace, replace, lambda args: args,
-                (x, p, r, u, w, s, q, z))
-        # exit on the NEXT eta (computed top of next pass) — test the
-        # current one here so the reported count includes this pass
-        converged = all_true(jnp.abs(eta) < exit_tol)
-        return _Carry(x, r, u, w, z, q, s, p, eta, alpha,
-                      c.iters + 1, converged)
+    body = functools.partial(pipelined_step, mv, apply_pinv, vdot, gamma,
+                             exit_tol, replace_every)
 
     # pre-loop tolerance check (same deviation as the classic backends):
     # an already-converged warm start reports 0 iterations instead of
@@ -169,6 +119,64 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
                   all_true(jnp.abs(eta0) < exit_tol))
     out = jax.lax.while_loop(cond, body, init)
     return out.x, out.iters, out.converged, out.eta_prev
+
+
+def pipelined_step(mv, apply_pinv, vdot, gamma, exit_tol, replace_every,
+                   c: _Carry) -> _Carry:
+    """One pipelined iteration (the while-loop body), exposed so the
+    diagnostics scan (tpcg/utils/diagnostics.py) runs the SAME recurrence
+    the solver does — single source of truth, like classic_pcg_step."""
+    eta = vdot(c.r, c.u)
+    delta = vdot(c.w, c.u)          # both dots at one sync point
+    m = apply_pinv(c.w)
+    nn = mv(m)
+    first = c.iters == 0
+    beta = jnp.where(first, jnp.zeros_like(eta), eta / c.eta_prev)
+    alpha = jnp.where(
+        first, eta / delta,
+        eta / (delta - beta * eta / c.alpha_prev))
+    z = nn + beta * c.z
+    q = m + beta * c.q
+    s = c.w + beta * c.s
+    p = c.u + beta * c.p
+    x = c.x + alpha * p
+    r = c.r - alpha * s
+    u = c.u - alpha * q
+    w = c.w - alpha * z
+    if replace_every:
+        def replace(args):
+            x, p, *_ = args
+            r = gamma - mv(x)
+            u = apply_pinv(r)
+            w = mv(u)
+            s = mv(p)
+            q = apply_pinv(s)
+            z = mv(q)
+            return (x, p, r, u, w, s, q, z)
+
+        # Guard: only replace while eta is far from the exit tolerance.
+        # Measured on chip (iiwa14 n=14): an UNGUARDED replacement firing
+        # near convergence (cadence 32 -> first fire at iter 31, eta
+        # ~1e-5) stagnates the solve at BOTH K=128 and K=512 — the
+        # recomputed r = gamma - S x sits at the fp32 noise floor there,
+        # and the recurrence inherits garbage eta ratios. Early firings
+        # (eta large) are exactly the ones that fix the K=512 drift.
+        # typed int32 scalars: Python-int operands of %/== trace as
+        # i64 under jax_enable_x64, which Mosaic rejects in-kernel
+        re32 = jnp.int32(replace_every)
+        do_replace = jnp.logical_and(
+            c.iters % re32 == re32 - jnp.int32(1),
+            c.iters > jnp.int32(0))
+        do_replace = jnp.logical_and(
+            do_replace, all_true(jnp.abs(eta) > 1000.0 * exit_tol))
+        x, p, r, u, w, s, q, z = jax.lax.cond(
+            do_replace, replace, lambda args: args,
+            (x, p, r, u, w, s, q, z))
+    # exit on the NEXT eta (computed top of next pass) — test the
+    # current one here so the reported count includes this pass
+    converged = all_true(jnp.abs(eta) < exit_tol)
+    return _Carry(x, r, u, w, z, q, s, p, eta, alpha,
+                  c.iters + 1, converged)
 
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",

@@ -28,6 +28,54 @@ from tpcg.types import BlockTridiag, PCGConfig, check_system
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
                                              "stop_on_nonfinite"))
+def _eta_scan_pipelined(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
+                        max_iter: int, identity_pinv: bool,
+                        stop_on_nonfinite: bool):
+    """Pipelined-method eta curve: a fixed-length scan over the SAME
+    ``pipelined_step`` the solver's while_loop runs (incl. the eta-guarded
+    residual replacement), frozen past the exit point. ``etas[k]`` is the
+    eta computed at the TOP of pass k+1 — the pipelined method's own exit
+    quantity, which trails the classic curve by one pass by construction
+    (tpcg/solver/pipelined.py module docstring)."""
+    from tpcg.solver.pipelined import _Carry, pipelined_step
+
+    apply_pinv = ((lambda v: v) if identity_pinv
+                  else (lambda v: bdmv(Pinv_blocks, v)))
+    mv = lambda v: bdmv(S_blocks, v)
+    vdot = lambda a, b: jnp.sum(a * b)
+    step1 = functools.partial(pipelined_step, mv, apply_pinv, vdot, gamma,
+                              jnp.asarray(exit_tol, gamma.dtype), 16)
+
+    r = gamma - mv(lam0)
+    u = apply_pinv(r)
+    w = mv(u)
+    zeros = jnp.zeros_like(r)
+    eta0 = vdot(r, u)
+
+    def stop(c, done):
+        done = jnp.logical_or(done, c.converged)
+        if stop_on_nonfinite:
+            done = jnp.logical_or(
+                done, jnp.logical_not(jnp.isfinite(c.eta_prev)))
+        return done
+
+    def step(carry, _):
+        c, done = carry
+        c_n = step1(c)
+        c = jax.tree_util.tree_map(
+            lambda old, new: jnp.where(done, old, new), c, c_n)
+        return (c, stop(c, done)), c.eta_prev
+
+    init_c = _Carry(lam0, r, u, w, zeros, zeros, zeros, zeros, eta0,
+                    jnp.ones((), gamma.dtype), jnp.zeros((), jnp.int32),
+                    jnp.abs(eta0) < exit_tol)
+    (c, _), etas = jax.lax.scan(step, (init_c, init_c.converged), None,
+                                length=max_iter)
+    return c.x, jnp.concatenate([eta0[None], etas])
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
+                                             "stop_on_nonfinite"))
 def _eta_scan(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
               max_iter: int, identity_pinv: bool,
               stop_on_nonfinite: bool):
@@ -68,7 +116,9 @@ def eta_history(S, gamma, lam0=None, *, config: Optional[PCGConfig] = None,
     (flat after the solver's exit point). Single-system inputs only —
     ``(K, 3, n, n)`` / ``(K, n)`` — validated like ``pcg_solve`` (a batched
     input would silently couple systems through the joint reductions).
-    Classic method on the jnp backend regardless of platform."""
+    Runs ``config.method`` (classic or pipelined — the pipelined curve is
+    its own exit quantity and trails classic by one pass by construction)
+    on the jnp backend regardless of platform."""
     from tpcg import precond
     from tpcg.solver.api import _as_bt
 
@@ -85,11 +135,13 @@ def eta_history(S, gamma, lam0=None, *, config: Optional[PCGConfig] = None,
     identity = config.preconditioner == "identity" and Pinv is None
     pblocks = (S.blocks if identity
                else precond.materialize(S, config, Pinv).blocks)
-    lam, etas = _eta_scan(S.blocks, pblocks, gamma, lam0,
-                          exit_tol=config.exit_tol,
-                          max_iter=config.max_iter,
-                          identity_pinv=identity,
-                          stop_on_nonfinite=config.stop_on_nonfinite)
+    scan = (_eta_scan_pipelined if config.method == "pipelined"
+            else _eta_scan)
+    lam, etas = scan(S.blocks, pblocks, gamma, lam0,
+                     exit_tol=config.exit_tol,
+                     max_iter=config.max_iter,
+                     identity_pinv=identity,
+                     stop_on_nonfinite=config.stop_on_nonfinite)
     return lam, etas
 
 

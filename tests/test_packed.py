@@ -96,6 +96,24 @@ def test_packed_pipelined_matches_oracle():
                                    np.asarray(r1.lam), rtol=2e-4, atol=2e-5)
 
 
+def test_packed_lean_matches_fast():
+    """The lean (slice-at-use) packed variant must be numerically identical
+    in routing-relevant outputs to the fast one."""
+    P, K, n = 2, 16, 5
+    blocks, gamma = _batch(P, n, K, seed=21)
+    lam0 = jnp.zeros_like(gamma)
+    kw = dict(exit_tol=1e-7, max_iter=200, precond="symmetric_stair", P=P,
+              interpret=True)
+    fast = pcg_pallas_packed(blocks, None, gamma, lam0, lean=False, **kw)
+    lean = pcg_pallas_packed(blocks, None, gamma, lam0, lean=True, **kw)
+    for b in range(P):
+        assert bool(lean.converged[b])
+        assert abs(int(lean.iters[b]) - int(fast.iters[b])) <= 1
+        np.testing.assert_allclose(np.asarray(lean.lam[b]),
+                                   np.asarray(fast.lam[b]),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_packed_mixed_convergence_freezes():
     """System 0 converged at entry (zero rhs): must come back lam=0,
     iters=0, no NaN; others solve normally."""
@@ -113,10 +131,34 @@ def test_packed_mixed_convergence_freezes():
 
 
 def test_pack_width_heuristic():
-    assert pack_width(256, 128, 14) in (2, 4)       # PK cap 512
-    assert pack_width(256, 32, 14) in (8, 16)
+    # cap is the VMEM model (the log-shift dot has no segment matrix) with
+    # the fast variant preferred: at n=14 explicit-Pinv, PK=512 is the
+    # widest fast fit (PK=1024 fits only lean, which measured slower)
+    assert pack_width(256, 128, 14) == 4
+    assert pack_width(256, 32, 14) == 16
     assert pack_width(3, 128, 14) == 1              # must divide B
-    assert pack_width(256, 512, 14) == 1            # K already fills cap
+    assert pack_width(256, 512, 14) == 1
+    # lighter preconditioner -> wider fast fit: block_jacobi at PK=1024
+    assert pack_width(256, 128, 14, precond="block_jacobi") == 8
+    # max_lanes escape hatch still caps
+    assert pack_width(256, 32, 14, max_lanes=128) == 4
+
+
+def test_seg_allreduce_matches_numpy():
+    """The log-shift segmented all-reduce (any K, incl. non-powers of two)
+    vs numpy segment sums."""
+    from tpcg.ops.packed import _seg_allreduce
+
+    rng = np.random.RandomState(0)
+    for PK, K in [(128, 128), (256, 128), (512, 32), (384, 96), (12, 3),
+                  (10, 5), (7, 7), (6, 1)]:
+        t = jnp.asarray(rng.randn(2, PK).astype(np.float32))
+        got = np.asarray(_seg_allreduce(t, PK, K))
+        tn = np.asarray(t)
+        want = tn.reshape(2, PK // K, K).sum(-1, keepdims=True)
+        want = np.repeat(want, K, -1).reshape(2, PK)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"PK={PK} K={K}")
 
 
 def test_packed_rejects_bad_pack():

@@ -284,10 +284,13 @@ def _pcg_batched_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
 
     Scalar diagnostics are full ``(B,)`` SMEM refs written at
     ``program_id`` (rank-1 SMEM outputs cannot be block-sliced per step)."""
+    # operand/output refs arrive batch-squeezed (None in the BlockSpec
+    # block shape): a nested ``ref.at[0][d]`` page read would lower to a
+    # Mosaic memref slice over the PADDED sublane dim and fail alignment
     b = pl.program_id(0)
     _pcg_kernel(tol_ref,
-                S_ref.at[0], pinv_ref.at[0], gamma_ref.at[0], lam0_ref.at[0],
-                lam_ref.at[0], iters_ref, conv_ref, eta_ref,
+                S_ref, pinv_ref, gamma_ref, lam0_ref,
+                lam_ref, iters_ref, conv_ref, eta_ref,
                 n=n, K=K, max_iter=max_iter, precond=precond,
                 stop_on_nonfinite=stop_on_nonfinite, method=method,
                 out_idx=b, lean=lean)
@@ -300,8 +303,8 @@ def _pcg_batched_kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref,
                                lean=False):
     b = pl.program_id(0)
     _pcg_kernel(tol_ref,
-                S_ref.at[0], None, gamma_ref.at[0], lam0_ref.at[0],
-                lam_ref.at[0], iters_ref, conv_ref, eta_ref,
+                S_ref, None, gamma_ref, lam0_ref,
+                lam_ref, iters_ref, conv_ref, eta_ref,
                 n=n, K=K, max_iter=max_iter, precond=precond,
                 stop_on_nonfinite=stop_on_nonfinite, method=method,
                 out_idx=b, lean=lean)
@@ -335,7 +338,10 @@ def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
               stop_on_nonfinite=stop_on_nonfinite, method=method, lean=lean)
 
     def block(shape):
-        return pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),
+        # None squeezes the batch dim: the kernel body sees the same ref
+        # ranks as the single-system kernel (required for the lean page
+        # reads — see _pcg_batched_kernel)
+        return pl.BlockSpec((None, *shape), lambda b: (b, *([0] * len(shape))),
                             memory_space=pltpu.VMEM)
 
     smem_out = pl.BlockSpec(memory_space=pltpu.SMEM)  # full (B,), one slot/step

@@ -17,11 +17,14 @@ Layout: operands are lane-concatenated lane-major pages — S ``(3, n, n,
 P*K)``, vectors ``(n, P*K)`` — i.e. P single-system lane-major layouts
 abutted on the minor axis. Halo shifts become period-K masked rolls (the
 segment boundary plays the role the chain boundary plays in
-tpcg/ops/bdmv.py). Per-system dot products are computed with ONE MXU
-matmul: ``sum_sublanes(a*b) (1, PK) @ SEG (PK, PK)`` where ``SEG[l, m] =
-(l//K == m//K)`` — every lane receives its own segment's sum, so
-alpha/beta/eta stay lane-replicated vector values and no scalar extraction
-happens inside the loop (the MXU is otherwise idle in this kernel).
+tpcg/ops/bdmv.py). Per-system dot products are segmented all-reduces: a
+log-shift ladder of masked in-segment rolls (``_seg_allreduce``) leaves
+every lane holding its own segment's sum, so alpha/beta/eta stay
+lane-replicated vector values and no scalar extraction happens inside the
+loop. (Round 1 used a ``(PK, PK)`` one-hot matmul for this; its
+quadratically-growing segment matrix — 1 MiB of VMEM at PK=512 — was what
+capped the pack width at 512 lanes. The ladder is O(PK log K) VPU work
+with no VMEM footprint, lifting the cap to the operand-VMEM limit.)
 
 Per-system semantics match independent solves (pcg.cuh:154-212 exit/count
 rules): converged systems are frozen with jnp.where masks (NOT 0/1
@@ -40,8 +43,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpcg.types import PCGResult
-
-_HIGH = jax.lax.Precision.HIGHEST
 
 
 def _seg_shift_down(x, n, PK, K):
@@ -70,7 +71,9 @@ def _seg_shift_up(x, n, PK, K):
 
 def _bdmv_packed(S, x, n, PK, K):
     """Lane-major bdmv with period-K halo boundaries (tpcg/ops/bdmv.py
-    bdmv_lane_major, segment-masked)."""
+    bdmv_lane_major, segment-masked). ``S`` may be a loaded value or a VMEM
+    ref — the lean variant passes the ref so only one (n, n, PK) diagonal
+    page is live at a time (tpcg/ops/fused_pcg.py ``_bdmv_from_ref``)."""
     xs = (_seg_shift_down(x, n, PK, K), x, _seg_shift_up(x, n, PK, K))
     acc = jnp.zeros((n, PK), x.dtype)
     for d in range(3):
@@ -91,50 +94,78 @@ def _apply_stair_packed(S, Dinv_t, v, n, PK, K):
     return blockdiag_mv_lane_major(Dinv_t, t, n, PK)
 
 
-def _seg_matrix(PK, K, dtype):
-    """(PK, PK) one-hot block matrix: SEG[l, m] = 1 if l//K == m//K."""
-    li = jax.lax.broadcasted_iota(jnp.int32, (PK, PK), 0)
-    mi = jax.lax.broadcasted_iota(jnp.int32, (PK, PK), 1)
-    K32 = jnp.int32(K)  # i64-safe under x64
-    return (li // K32 == mi // K32).astype(dtype)
+def _seg_allreduce(t, PK, K):
+    """Per-segment lane sum of ``t (rows, PK)``, replicated to every lane of
+    its K-lane segment, via a log-shift ladder of masked in-segment rolls.
+
+    ``lad`` after j doublings holds cyclic-in-segment window sums of width
+    2^j; the binary digits of K are combined with rolled ladder pieces so
+    every lane ends up covering exactly its K segment lanes (works for any
+    K, not just powers of two). Replaces the round-1 ``(PK, PK)`` one-hot
+    matmul whose segment matrix capped the pack width (module docstring)."""
+    if K == 1:
+        return t
+    rows = t.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, PK), 1)
+    lmod = lane % jnp.int32(K)  # typed int32: Python-int % traces i64 on x64
+
+    def seg_roll(x, s):
+        # y[l] = x[l+s cyclic within its K-lane segment], 0 < s < K
+        a = jnp.roll(x, -s, axis=1)       # x[l+s] globally
+        b = jnp.roll(x, K - s, axis=1)    # x[l+s-K] globally
+        return jnp.where(lmod < jnp.int32(K - s), a, b)
+
+    acc = None
+    shift = 0
+    lad = t
+    w = 1
+    while w <= K:
+        if K & w:
+            piece = lad if shift == 0 else seg_roll(lad, shift)
+            acc = piece if acc is None else acc + piece
+            shift += w
+        if 2 * w <= K:
+            lad = lad + seg_roll(lad, w)
+        w *= 2
+    return acc
 
 
 def _pcg_packed_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                        lam_ref, iters_ref, conv_ref, eta_ref,
                        *, n, PK, K, P, max_iter, precond,
-                       method="classic"):
+                       method="classic", lean=False):
     from tpcg.ops.smallinv import (blockdiag_mv_lane_major,
                                    gj_inverse_lane_major)
 
-    S = S_ref[...]
+    # lean: keep S (and Pinv) as VMEM refs so only one (n, n, PK) diagonal
+    # page is ever live on the kernel stack (the fused kernel's lean
+    # variant, tpcg/ops/fused_pcg.py) — ~1.4x S less scoped VMEM, which
+    # buys one more pack-width doubling at iiwa14 scale
+    S = S_ref if lean else S_ref[...]
     gamma = gamma_ref[...]
     lam0 = lam0_ref[...]
     tol = tol_ref[0]
-    seg = _seg_matrix(PK, K, gamma.dtype)
 
     mv = lambda v: _bdmv_packed(S, v, n, PK, K)
     if precond == "identity":
         apply_pinv = lambda v: v
     elif precond == "explicit":
-        Pinv = pinv_ref[...]
+        Pinv = pinv_ref if lean else pinv_ref[...]
         apply_pinv = lambda v: _bdmv_packed(Pinv, v, n, PK, K)
     elif precond == "block_jacobi":
-        Dinv_t = gj_inverse_lane_major(S[1], n, PK)
+        Dinv_t = gj_inverse_lane_major(S[1], n, PK, unroll=not lean)
         apply_pinv = lambda v: blockdiag_mv_lane_major(Dinv_t, v, n, PK)
     elif precond == "symmetric_stair":
-        Dinv_t = gj_inverse_lane_major(S[1], n, PK)
+        Dinv_t = gj_inverse_lane_major(S[1], n, PK, unroll=not lean)
         apply_pinv = lambda v: _apply_stair_packed(S, Dinv_t, v, n, PK, K)
     else:
         raise ValueError(f"bad precond {precond!r}")
 
     def vdot_seg(a, b):
-        # (1, PK): lane l holds the dot of the system owning lane l. The
-        # one-hot matmul sums exact f32 addends; HIGHEST precision keeps
-        # the MXU from rounding them to bf16 (CLAUDE.md invariant).
+        # (1, PK): lane l holds the dot of the system owning lane l, via the
+        # log-shift segmented all-reduce (exact f32 pairwise adds on VPU)
         t = jnp.sum(a * b, axis=0, keepdims=True)
-        return jax.lax.dot_general(t, seg, (((1,), (0,)), ((), ())),
-                                   precision=_HIGH,
-                                   preferred_element_type=a.dtype)
+        return _seg_allreduce(t, PK, K)
 
     if method not in ("classic", "pipelined"):
         raise ValueError(f"bad method {method!r}")
@@ -269,35 +300,55 @@ def _packed_pipelined_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
     return x, iters, conv32, eta
 
 
-def _fits_vmem(state_size, pk, dtype, identity_pinv, precond, method):
+def _fits_vmem(state_size, pk, dtype, identity_pinv, precond, method,
+               lean=False):
     from tpcg.utils.feasibility import VMEM_BYTES, VMEM_HEADROOM, \
-        fused_vmem_bytes
+        packed_vmem_bytes
 
-    seg_bytes = pk * pk * jnp.dtype(dtype).itemsize
-    need = fused_vmem_bytes(state_size, pk, dtype, identity_pinv,
-                            precond, 1, method) + seg_bytes
+    need = packed_vmem_bytes(state_size, pk, dtype, identity_pinv,
+                             precond, method, lean)
     return need <= int(VMEM_BYTES * VMEM_HEADROOM)
+
+
+def _fits_any(state_size, pk, dtype, identity_pinv, precond, method):
+    """Fits in the fast variant, or failing that the lean one."""
+    return (_fits_vmem(state_size, pk, dtype, identity_pinv, precond,
+                       method, lean=False) or
+            _fits_vmem(state_size, pk, dtype, identity_pinv, precond,
+                       method, lean=True))
 
 
 def pack_width(B: int, K: int, state_size: int, dtype=jnp.float32,
                precond: str = None, identity_pinv: bool = False,
-               method: str = "classic", max_lanes: int = 512) -> int:
+               method: str = "classic", max_lanes: int = 2048) -> int:
     """Largest power-of-2 P dividing B with P*K <= max_lanes, P*K lane-tile
-    aligned, and the packed working set within VMEM (the fast-variant model
-    with K -> P*K, plus the (PK, PK) segment matrix)."""
-    best = 1
+    aligned, and the packed working set within VMEM (with K -> P*K). The
+    cap is the VMEM model, not ``max_lanes``: since the (PK, PK) segment
+    matrix was replaced by the log-shift all-reduce, pack width is
+    operand-limited only (``max_lanes`` remains as an escape hatch).
+
+    Fast-fitting packs are preferred over wider lean-fitting ones — measured
+    on chip (B=256, n=14, in-kernel symmetric_stair): K=128 pipelined P=4
+    fast 15.6 µs/sys vs P=8 lean 16.4; K=32 P=16 fast 3.3 vs P=32 lean 4.4.
+    The lean variant's re-sliced page reads cost more than the extra
+    amortization saves, so lean is a fallback for when NO fast pack fits."""
+    best_fast = best_lean = 0
     p = 1
     while p <= B and p * K <= max_lanes:
-        if B % p == 0 and (p * K) % 128 == 0 and _fits_vmem(
-                state_size, p * K, dtype, identity_pinv, precond, method):
-            best = p
+        if B % p == 0 and (p * K) % 128 == 0:
+            if _fits_vmem(state_size, p * K, dtype, identity_pinv, precond,
+                          method, lean=False):
+                best_fast = p
+            elif _fits_vmem(state_size, p * K, dtype, identity_pinv,
+                            precond, method, lean=True):
+                best_lean = p
         p *= 2
-    return best
+    return best_fast or best_lean or 1
 
 
 def plan_pack(B: int, K: int, state_size: int, dtype=jnp.float32,
               precond: str = None, identity_pinv: bool = False,
-              method: str = "classic", max_lanes: int = 512):
+              method: str = "classic", max_lanes: int = 2048):
     """Choose ``(P, K_pad, B_pad)`` for an arbitrary batch.
 
     ``K_pad >= K``: each system's chain is extended with decoupled identity
@@ -313,7 +364,9 @@ def plan_pack(B: int, K: int, state_size: int, dtype=jnp.float32,
     The grid-blocked Pallas kernel requires lane-aligned block slices
     (P*K_pad % 128 == 0; the grid-batched kernel in tpcg/ops/fused_pcg.py
     simply cannot run at K < 128 for this reason), so candidates are scored
-    by lane utilization K/K_pad first, then by pack width P."""
+    by lane utilization K/K_pad first, then fast-variant fit (see
+    :func:`pack_width` — a fast narrow pack measured faster than a lean
+    wide one), then pack width P."""
     def pow2_at_least(x):
         p = 1
         while p < x:
@@ -327,14 +380,18 @@ def plan_pack(B: int, K: int, state_size: int, dtype=jnp.float32,
         p = 1
         while p * K_pad <= max_lanes:
             pk = p * K_pad
-            if pk % 128 == 0 and _fits_vmem(state_size, pk, dtype,
-                                            identity_pinv, precond, method):
-                cands.append((K / K_pad, p, K_pad))
+            if pk % 128 == 0:
+                if _fits_vmem(state_size, pk, dtype, identity_pinv,
+                              precond, method, lean=False):
+                    cands.append((K / K_pad, 1, p, K_pad))
+                elif _fits_vmem(state_size, pk, dtype, identity_pinv,
+                                precond, method, lean=True):
+                    cands.append((K / K_pad, 0, p, K_pad))
             p *= 2
     if not cands:
         return None  # nothing lane-aligned fits — caller falls back
     cands.sort()
-    _, P, K_pad = cands[-1]
+    _, _, P, K_pad = cands[-1]
     B_pad = -(-B // P) * P
     return P, K_pad, B_pad
 
@@ -381,17 +438,21 @@ def pad_systems(S_blocks, Pinv_blocks, gamma, lam0, K_pad: int, B_pad: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond", "method", "P",
-                                    "interpret"))
+                                    "lean", "interpret"))
 def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                       max_iter: int, precond: str = None,
                       method: str = "classic", P: int = None,
+                      lean: bool = None,
                       interpret: bool = False) -> PCGResult:
     """Batched fused solve, P systems lane-packed per grid step.
 
     ``S_blocks (B, K, 3, n, n)``, vectors ``(B, K, n)``; ``B % P == 0``.
-    ``P=None`` picks the widest feasible pack. Returns per-system
-    ``PCGResult`` with a leading B axis, iteration semantics identical to
-    independent solves (frozen after convergence)."""
+    ``P=None`` picks the widest feasible pack; ``lean=None`` picks the fast
+    kernel variant when its working set fits VMEM and the slice-at-use lean
+    one otherwise (mirroring tpcg/utils/feasibility.pick_fused_variant, but
+    with the packed VMEM model). Returns per-system ``PCGResult`` with a
+    leading B axis, iteration semantics identical to independent solves
+    (frozen after convergence)."""
     from tpcg.ops.bdmv import to_lane_major
 
     B, K = gamma.shape[0], gamma.shape[1]
@@ -401,11 +462,15 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
         precond = "identity" if Pinv_blocks is None else "explicit"
     if precond != "explicit" and Pinv_blocks is not None:
         raise ValueError(f"Pinv_blocks must be None with precond={precond!r}")
+    identity_pinv = precond == "identity"
     if P is None:
         P = pack_width(B, K, n, dtype, precond=precond,
-                       identity_pinv=precond == "identity", method=method)
+                       identity_pinv=identity_pinv, method=method)
     if B % P != 0:
         raise ValueError(f"batch {B} not divisible by pack width {P}")
+    if lean is None:
+        lean = not _fits_vmem(n, P * K, dtype, identity_pinv, precond,
+                              method, lean=False)
     G = B // P
     PK = P * K
 
@@ -424,10 +489,16 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     tol = jnp.asarray([exit_tol], dtype)
 
     kw = dict(n=n, PK=PK, K=K, P=P, max_iter=max_iter, precond=precond,
-              method=method)
+              method=method, lean=lean)
 
     def block(shape):
-        return pl.BlockSpec((1, *shape), lambda b: (b, *([0] * len(shape))),
+        # None squeezes the batch dim away so the kernel sees a plain
+        # (3, n, n, PK)/(n, PK) ref: lean's page reads (``S_ref[d]``) then
+        # slice only the leading untiled dim, which Mosaic supports — a
+        # nested ``S_ref.at[0][d]`` lowers to a memref slice over the
+        # PADDED sublane dim (n=14 inside a 16-padded tile) and fails
+        # "slice shape must be aligned to tiling"
+        return pl.BlockSpec((None, *shape), lambda b: (b, *([0] * len(shape))),
                             memory_space=pltpu.VMEM)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -467,13 +538,14 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
 
 def _pcg_packed_kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref,
                               lam_ref, iters_ref, conv_ref, eta_ref, **kw):
-    _pcg_packed_kernel(tol_ref, S_ref.at[0], None, gamma_ref.at[0],
-                       lam0_ref.at[0], lam_ref.at[0], iters_ref, conv_ref,
+    # refs arrive batch-squeezed (None in the BlockSpec block shape)
+    _pcg_packed_kernel(tol_ref, S_ref, None, gamma_ref,
+                       lam0_ref, lam_ref, iters_ref, conv_ref,
                        eta_ref, **kw)
 
 
 def _pcg_packed_kernel_pinv(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                             lam_ref, iters_ref, conv_ref, eta_ref, **kw):
-    _pcg_packed_kernel(tol_ref, S_ref.at[0], pinv_ref.at[0],
-                       gamma_ref.at[0], lam0_ref.at[0], lam_ref.at[0],
+    _pcg_packed_kernel(tol_ref, S_ref, pinv_ref,
+                       gamma_ref, lam0_ref, lam_ref,
                        iters_ref, conv_ref, eta_ref, **kw)

@@ -8,7 +8,7 @@ import numpy as np
 
 from tpcg.models import dynamics
 from tpcg.models.sqp import (TrajOptProblem, quadrotor_hover_problem,
-                             sqp_solve)
+                             sqp_solve, sqp_solve_bounded)
 
 
 def test_planar_quadrotor_converges_in_a_handful_of_iterations():
@@ -59,6 +59,43 @@ def test_sqp_on_linear_problem_matches_lqr_in_one_step():
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_lqr),
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(res.u), np.asarray(u_lqr),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_bounded_sqp_respects_active_control_bounds():
+    """Thrust bounds tight enough to be active: the unconstrained solution
+    must violate them, the AL solution must satisfy them (to tolerance) and
+    still close the dynamics defects."""
+    p = quadrotor_hover_problem(K=24)
+    free = sqp_solve(p)
+    u_hi = 5.6  # hover thrust is 4.905 per rotor; transient peaks exceed 5.6
+    u_lo = 3.0
+    assert float(jnp.max(free.u)) > u_hi or float(jnp.min(free.u)) < u_lo, \
+        "bounds not active — test would be vacuous"
+    res = sqp_solve_bounded(p, u_lo, u_hi, viol_tol=1e-3)
+    assert res.converged
+    assert res.max_violation < 1e-3
+    assert res.defect < 1e-3
+    # bounds actually bind somewhere (the constrained optimum saturates)
+    assert float(jnp.max(res.u)) > u_hi - 0.2 or \
+        float(jnp.min(res.u)) < u_lo + 0.2
+    # still stabilizes toward hover (looser than the unconstrained test:
+    # the clipped thrust envelope slows the approach within the horizon)
+    assert float(jnp.max(jnp.abs(res.x[-1][:3]))) < 0.3
+    # constrained cost >= unconstrained cost (sanity of the AL solution)
+    assert res.cost >= free.cost - 1e-3
+
+
+def test_bounded_sqp_inactive_bounds_match_unconstrained():
+    """Slack bounds: the AL loop must terminate in one outer iteration and
+    reproduce the unconstrained solution."""
+    p = quadrotor_hover_problem(K=16)
+    free = sqp_solve(p)
+    res = sqp_solve_bounded(p, -100.0, 100.0)
+    assert res.converged
+    assert res.iterations == 1
+    assert res.max_violation == 0.0
+    np.testing.assert_allclose(np.asarray(res.u), np.asarray(free.u),
                                rtol=1e-3, atol=1e-3)
 
 

@@ -64,6 +64,8 @@ class SQPResult(NamedTuple):
     defect: float         #: final max-norm dynamics defect
     history: list         #: per-iteration dicts (cost, defect, pcg_iters,
     #: step size) — observability the reference never had (SURVEY.md §5.5)
+    max_violation: float = 0.0  #: final max control-bound violation
+    #: (:func:`sqp_solve_bounded` only; 0 for unconstrained solves)
 
 
 _HIGH = jax.lax.Precision.HIGHEST
@@ -85,8 +87,34 @@ def _defects(p: TrajOptProblem, X, U):
     return jax.vmap(p.dynamics)(X[:-1], U) - X[1:]
 
 
-def _merit(p: TrajOptProblem, X, U, mu):
-    return _objective(p, X, U) + mu * jnp.sum(jnp.abs(_defects(p, X, U)))
+def _al_terms(U, bounds, al):
+    """PHR augmented-Lagrangian terms for the box constraint
+    ``u_lo <= U <= u_hi``: scalar penalty value, its gradient wrt U, and
+    its (diagonal) Hessian wrt U.
+
+    With one-sided violations ``g_hi = U - u_hi`` / ``g_lo = u_lo - U`` and
+    multipliers ``lam_* >= 0``, each side contributes
+    ``(max(0, lam + rho g)^2 - lam^2) / (2 rho)`` — smooth, piecewise
+    quadratic, exact at ``rho -> inf`` and already exact for finite rho
+    once the multipliers converge (the standard Powell-Hestenes-Rockafellar
+    form). The inner Gauss-Newton QP sees it through its gradient (into
+    ``r``) and active-set diagonal Hessian ``rho`` (into ``R``)."""
+    u_lo, u_hi = bounds
+    lam_lo, lam_hi, rho = al
+    t_hi = jnp.maximum(0.0, lam_hi + rho * (U - u_hi))
+    t_lo = jnp.maximum(0.0, lam_lo + rho * (u_lo - U))
+    val = (jnp.sum(t_hi ** 2 - lam_hi ** 2) +
+           jnp.sum(t_lo ** 2 - lam_lo ** 2)) / (2.0 * rho)
+    grad = t_hi - t_lo
+    hess_diag = rho * ((t_hi > 0) | (t_lo > 0)).astype(U.dtype)
+    return val, grad, hess_diag
+
+
+def _merit(p: TrajOptProblem, X, U, mu, bounds=None, al=None):
+    m = _objective(p, X, U) + mu * jnp.sum(jnp.abs(_defects(p, X, U)))
+    if bounds is not None:
+        m = m + _al_terms(U, bounds, al)[0]
+    return m
 
 
 def _linearize(p: TrajOptProblem, X, U):
@@ -96,20 +124,29 @@ def _linearize(p: TrajOptProblem, X, U):
     return A, B
 
 
-def _qp_step(p: TrajOptProblem, X, U, reg, config):
+def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None):
     """One Gauss-Newton QP: assemble the delta-form LQRProblem and PCG-solve
     its Schur complement. Returns (dx, du, pcg_result)."""
     from tpcg.solver.api import pcg_solve
 
     n = X.shape[-1]
+    m = U.shape[-1]
     A, B = _linearize(p, X, U)
     d = _defects(p, X, U)
     # gradients of the quadratic costs at the current trajectory
     gx = jnp.einsum('kij,kj->ki', p.Q, X, precision=_HIGH) + p.q
     gu = jnp.einsum('kij,kj->ki', p.R, U, precision=_HIGH) + p.r
+    R_eff = p.R
+    if bounds is not None:
+        # AL bound penalty enters the QP exactly: gradient into r, diagonal
+        # active-set Hessian (rho per active coordinate) into R
+        _, pen_grad, pen_hess = _al_terms(U, bounds, al)
+        gu = gu + pen_grad
+        eyeM = jnp.broadcast_to(jnp.eye(m, dtype=U.dtype), p.R.shape)
+        R_eff = p.R + pen_hess[..., :, None] * eyeM
     eyeK = jnp.broadcast_to(jnp.eye(n, dtype=X.dtype), p.Q.shape)
     dt = p.Q.dtype  # user dynamics may emit f64 under x64; pin to cost dtype
-    qp = LQRProblem(Q=p.Q + reg * eyeK, q=gx.astype(dt), R=p.R,
+    qp = LQRProblem(Q=p.Q + reg * eyeK, q=gx.astype(dt), R=R_eff.astype(dt),
                     r=gu.astype(dt), A=A.astype(dt), B=B.astype(dt),
                     c=d.astype(dt),
                     x_init=(p.x_init - X[0]).astype(dt))
@@ -123,7 +160,8 @@ def sqp_solve(p: TrajOptProblem, X0=None, U0=None, *,
               max_sqp_iters: int = 20, step_tol: float = 1e-4,
               defect_tol: float = 1e-4, merit_mu: float = 10.0,
               reg: float = 1e-6, n_alphas: int = 8,
-              config: Optional[PCGConfig] = None) -> SQPResult:
+              config: Optional[PCGConfig] = None,
+              _bounds=None, _al=None) -> SQPResult:
     """Solve a nonlinear trajectory-optimization problem by SQP.
 
     Args:
@@ -151,17 +189,17 @@ def sqp_solve(p: TrajOptProblem, X0=None, U0=None, *,
 
     merit_batch = jax.jit(jax.vmap(
         lambda a, X_, U_, dx, du: _merit(p, X_ + a * dx, U_ + a * du,
-                                         merit_mu),
+                                         merit_mu, _bounds, _al),
         in_axes=(0, None, None, None, None)))
 
     history = []
     converged = False
     it = 0
     for it in range(1, max_sqp_iters + 1):
-        dx, du, res = _qp_step(p, X, U, reg, config)
+        dx, du, res = _qp_step(p, X, U, reg, config, _bounds, _al)
         merits = merit_batch(alphas, X, U, dx, du)
         best = int(jnp.argmin(merits))
-        m0 = float(_merit(p, X, U, merit_mu))
+        m0 = float(_merit(p, X, U, merit_mu, _bounds, _al))
         alpha = float(alphas[best]) if float(merits[best]) < m0 else 0.0
         X = X + alpha * dx
         U = U + alpha * du
@@ -181,6 +219,75 @@ def sqp_solve(p: TrajOptProblem, X0=None, U0=None, *,
     return SQPResult(x=X, u=U, iterations=it, converged=converged,
                      cost=float(_objective(p, X, U)), defect=defect,
                      history=history)
+
+
+def sqp_solve_bounded(p: TrajOptProblem, u_lo, u_hi, X0=None, U0=None, *,
+                      al_iters: int = 10, rho0: float = 10.0,
+                      rho_mult: float = 5.0, viol_tol: float = 1e-4,
+                      inner_iters: int = 10,
+                      **sqp_kwargs) -> SQPResult:
+    """SQP with control box bounds ``u_lo <= u <= u_hi`` via an augmented-
+    Lagrangian outer loop (the inequality layer MPCGPU adds above the
+    reference's equality-constrained solve; /root/reference/README.md:66-77
+    — the PCG core stays untouched, the bounds enter through the QP's R/r).
+
+    Each outer iteration solves a smooth bound-penalized SQP subproblem
+    (:func:`sqp_solve` with the PHR penalty of :func:`_al_terms` folded
+    into its merit and QP), then performs the standard multiplier update
+    ``lam <- max(0, lam + rho g)`` and increases ``rho`` when the maximum
+    violation did not drop by 4x. Terminates when bound violation and
+    dynamics defect are both within tolerance.
+
+    Args:
+      u_lo, u_hi: ``(m,)`` or ``(K-1, m)`` control bounds (broadcast).
+      al_iters: outer multiplier-update cap.
+      rho0 / rho_mult: initial penalty weight and its escalation factor.
+      viol_tol: max-norm bound-violation tolerance.
+      inner_iters: ``max_sqp_iters`` for each inner subproblem.
+      **sqp_kwargs: forwarded to :func:`sqp_solve`.
+    """
+    K, m = p.R.shape[0] + 1, p.R.shape[-1]
+    dt_ = p.R.dtype
+    u_lo = jnp.broadcast_to(jnp.asarray(u_lo, dt_), (K - 1, m))
+    u_hi = jnp.broadcast_to(jnp.asarray(u_hi, dt_), (K - 1, m))
+    lam_lo = jnp.zeros((K - 1, m), dt_)
+    lam_hi = jnp.zeros((K - 1, m), dt_)
+    rho = rho0
+    X, U = X0, U0
+    defect_tol = sqp_kwargs.get("defect_tol", 1e-4)
+    history = []
+    viol_prev = jnp.inf
+    res = None
+    for _ in range(al_iters):
+        res = sqp_solve(p, X, U, max_sqp_iters=inner_iters,
+                        _bounds=(u_lo, u_hi), _al=(lam_lo, lam_hi, rho),
+                        **sqp_kwargs)
+        X, U = res.x, res.u
+        g_hi = U - u_hi
+        g_lo = u_lo - U
+        viol = float(jnp.maximum(jnp.max(jnp.maximum(g_hi, 0.0)),
+                                 jnp.max(jnp.maximum(g_lo, 0.0))))
+        history.append(dict(violation=viol, rho=rho, cost=res.cost,
+                            defect=res.defect,
+                            inner_iters=res.iterations,
+                            inner=res.history))
+        if viol < viol_tol and res.defect < defect_tol:
+            return SQPResult(x=X, u=U, iterations=len(history),
+                             converged=True, cost=res.cost,
+                             defect=res.defect, history=history,
+                             max_violation=viol)
+        lam_hi = jnp.maximum(0.0, lam_hi + rho * g_hi)
+        lam_lo = jnp.maximum(0.0, lam_lo + rho * g_lo)
+        if viol > 0.25 * viol_prev:
+            rho *= rho_mult
+        viol_prev = viol
+    g_hi = U - u_hi
+    g_lo = u_lo - U
+    viol = float(jnp.maximum(jnp.max(jnp.maximum(g_hi, 0.0)),
+                             jnp.max(jnp.maximum(g_lo, 0.0))))
+    return SQPResult(x=X, u=U, iterations=len(history), converged=False,
+                     cost=res.cost, defect=res.defect, history=history,
+                     max_violation=viol)
 
 
 def quadrotor_hover_problem(K: int = 32, dt: float = 0.05,

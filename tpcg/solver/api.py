@@ -46,6 +46,10 @@ def _as_bt(S) -> BlockTridiag:
 
 def _jnp_solver(method: str):
     """The jnp-backend solve fn for a PCGConfig.method."""
+    if method == "block":
+        raise ValueError("method='block' shares one Krylov space across "
+                         "right-hand sides and is only meaningful through "
+                         "pcg_solve_multirhs")
     if method == "pipelined":
         from tpcg.solver.pipelined import pcg_pipelined_jnp
         return pcg_pipelined_jnp
@@ -88,6 +92,9 @@ def pcg_solve(S, gamma, lam0=None, *,
     else:
         lam0 = jnp.asarray(lam0)
     config = config or PCGConfig()
+    if config.method == "block":
+        raise ValueError("method='block' is multi-RHS only; use "
+                         "pcg_solve_multirhs")
     check_system(S, gamma, lam0)
     if Pinv is not None:
         Pinv = _as_bt(Pinv)
@@ -134,6 +141,9 @@ def pcg_solve_batched(S, gamma, lam0=None, *,
     if lam0 is None:
         lam0 = jnp.zeros_like(gamma)
     config = config or PCGConfig()
+    if config.method == "block":
+        raise ValueError("method='block' is multi-RHS only (shared S); use "
+                         "pcg_solve_multirhs")
     if S.blocks.ndim != 5:
         raise ValueError(f"batched S.blocks must be (B, K, 3, n, n), got "
                          f"{S.blocks.shape}")
@@ -188,7 +198,14 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
     ``gamma``/``lam0``: ``(R, K, n)``. On TPU this runs the multi-RHS fused
     kernel (tpcg/ops/multirhs.py — all R solves share each iteration's
     sweep); elsewhere it vmaps the jnp backend over the rhs axis. Returns
-    per-rhs results with a leading R axis."""
+    per-rhs results with a leading R axis.
+
+    ``config.method="block"`` selects block-PCG (tpcg/solver/blockcg.py):
+    one shared Krylov space with an R-dimensional subspace minimization per
+    pass — fewer iterations when the right-hand sides are correlated
+    (sensitivity propagation, multi-target MPC). It runs on the XLA
+    backend on any platform (its R x R Gram solves are MXU work, not a
+    VPU-kernel shape)."""
     S = _as_bt(S)
     gamma = jnp.asarray(gamma)
     lam0 = jnp.zeros_like(gamma) if lam0 is None else jnp.asarray(lam0)
@@ -209,6 +226,20 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
     check_system(S, gamma[0], lam0[0])
     if lam0.shape != gamma.shape:
         raise ValueError(f"lam0 shape {lam0.shape} != gamma {gamma.shape}")
+
+    if config.method == "block":
+        if config.stop_on_nonfinite:
+            raise ValueError("method='block' has no stop_on_nonfinite "
+                             "plumbing; use classic/pipelined or drop the "
+                             "flag")
+        from tpcg.solver.blockcg import pcg_block_jnp
+        identity = config.preconditioner == "identity"
+        pblocks = (S.blocks if identity
+                   else precond.materialize(S, config).blocks)
+        return pcg_block_jnp(S.blocks, pblocks, gamma, lam0,
+                             exit_tol=config.exit_tol,
+                             max_iter=config.max_iter,
+                             identity_pinv=identity)
 
     explicit_pallas = backend == "pallas"
     backend = _pick_backend(backend, S.dtype)

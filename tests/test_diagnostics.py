@@ -105,3 +105,39 @@ def test_eta_history_pipelined_matches_solver():
                                rtol=1e-9, atol=1e-10)
     # curve is flat after exit
     assert np.allclose(np.asarray(etas[k:]), np.asarray(etas[k]))
+
+
+def test_fleet_summary_aggregates_batched_results():
+    from tpcg import pcg_solve_batched
+    from tpcg.models import trajopt
+
+    B, n, K = 8, 4, 16
+    Sb, gb = trajopt.batch_systems(jax.random.PRNGKey(5), B, n, K)
+    res = pcg_solve_batched(Sb.blocks, gb,
+                            config=PCGConfig(exit_tol=1e-7, max_iter=100,
+                                             preconditioner="block_jacobi"),
+                            backend="jnp")
+    s = diagnostics.fleet_summary(res)
+    assert s["n_systems"] == B
+    assert s["n_converged"] == B and s["convergence_rate"] == 1.0
+    assert s["iters_min"] <= s["iters_median"] <= s["iters_max"]
+    assert s["iters_max"] == int(np.asarray(res.iters).max())
+    assert s["straggler_index"] == int(np.asarray(res.iters).argmax())
+    assert s["unconverged_indices"] == []
+    assert s["nonfinite_eta_indices"] == []
+    import json
+    json.dumps(s)  # JSON-ready contract
+
+
+def test_fleet_summary_flags_unconverged():
+    import types
+
+    res = types.SimpleNamespace(
+        iters=np.asarray([3, 100, 5]),
+        converged=np.asarray([True, False, True]),
+        eta=np.asarray([1e-8, np.nan, 2e-8]))
+    s = diagnostics.fleet_summary(res)
+    assert s["convergence_rate"] < 1.0
+    assert s["unconverged_indices"] == [1]
+    assert s["nonfinite_eta_indices"] == [1]
+    assert s["straggler_index"] == 1

@@ -187,25 +187,42 @@ def sqp_solve(p: TrajOptProblem, X0=None, U0=None, *,
                                  preconditioner="symmetric_stair")
     alphas = 2.0 ** -jnp.arange(n_alphas, dtype=p.Q.dtype)
 
+    # jit every per-iteration piece ONCE per solve: the Gauss-Newton QP
+    # (linearize + assemble + PCG) would otherwise re-trace each SQP
+    # iteration — for expensive dynamics (the rigid-body chain's RK4 +
+    # jacfwd traces in ~10 s) re-tracing dominates total wall time
+    qp_j = jax.jit(lambda X_, U_: _qp_step(p, X_, U_, reg, config,
+                                           _bounds, _al))
+    # mu is an argument, not a closure: it adapts per iteration (below)
     merit_batch = jax.jit(jax.vmap(
-        lambda a, X_, U_, dx, du: _merit(p, X_ + a * dx, U_ + a * du,
-                                         merit_mu, _bounds, _al),
-        in_axes=(0, None, None, None, None)))
+        lambda a, X_, U_, dx, du, mu: _merit(p, X_ + a * dx, U_ + a * du,
+                                             mu, _bounds, _al),
+        in_axes=(0, None, None, None, None, None)))
+    merit0_j = jax.jit(lambda X_, U_, mu: _merit(p, X_, U_, mu,
+                                                 _bounds, _al))
+    defect_j = jax.jit(
+        lambda X_, U_: jnp.max(jnp.abs(_defects(p, X_, U_))))
+    obj_j = jax.jit(lambda X_, U_: _objective(p, X_, U_))
 
     history = []
     converged = False
     it = 0
     for it in range(1, max_sqp_iters + 1):
-        dx, du, res = _qp_step(p, X, U, reg, config, _bounds, _al)
-        merits = merit_batch(alphas, X, U, dx, du)
+        dx, du, res = qp_j(X, U)
+        # the l1 exact-penalty descent condition needs mu > |multipliers|_inf
+        # (res.lam IS the dynamics-multiplier estimate); a fixed mu that is
+        # too small rejects genuine QP steps — observed on the manipulator,
+        # whose gravity torques put the multipliers at ~50 vs merit_mu=10
+        mu_t = max(merit_mu, 2.0 * float(jnp.max(jnp.abs(res.lam))))
+        merits = merit_batch(alphas, X, U, dx, du, mu_t)
         best = int(jnp.argmin(merits))
-        m0 = float(_merit(p, X, U, merit_mu, _bounds, _al))
+        m0 = float(merit0_j(X, U, mu_t))
         alpha = float(alphas[best]) if float(merits[best]) < m0 else 0.0
         X = X + alpha * dx
         U = U + alpha * du
         step = float(jnp.max(jnp.abs(alpha * dx))) if alpha else 0.0
-        defect = float(jnp.max(jnp.abs(_defects(p, X, U))))
-        history.append(dict(cost=float(_objective(p, X, U)), defect=defect,
+        defect = float(defect_j(X, U))
+        history.append(dict(cost=float(obj_j(X, U)), defect=defect,
                             pcg_iters=int(res.iters), alpha=alpha,
                             step=step))
         if alpha == 0.0:
@@ -214,10 +231,10 @@ def sqp_solve(p: TrajOptProblem, X0=None, U0=None, *,
             converged = True
             break
 
-    defect = float(jnp.max(jnp.abs(_defects(p, X, U))))
+    defect = float(defect_j(X, U))
     converged = converged or defect < defect_tol
     return SQPResult(x=X, u=U, iterations=it, converged=converged,
-                     cost=float(_objective(p, X, U)), defect=defect,
+                     cost=float(obj_j(X, U)), defect=defect,
                      history=history)
 
 

@@ -154,3 +154,40 @@ def iterations_to_tolerance(etas, exit_tol: float) -> int:
 
     below = np.abs(np.asarray(etas)) < exit_tol
     return int(np.argmax(below)) if below.any() else len(etas) - 1
+
+
+def fleet_summary(result) -> dict:
+    """Aggregate a batched/multi-RHS ``PCGResult`` (leading batch axis on
+    every field) into the metrics a fleet operator watches (SURVEY.md §5.5
+    — per-solve results exist; this is the fleet roll-up): solve counts,
+    convergence rate, iteration quartiles/extremes, worst-eta offenders.
+
+    Returns a plain dict of Python scalars (JSON-ready for logging/metric
+    pipelines) plus the indices of the straggler and any diverged systems
+    — the actionable part of the summary.
+    """
+    import numpy as np
+
+    iters = np.atleast_1d(np.asarray(result.iters))
+    conv = np.atleast_1d(np.asarray(result.converged))
+    eta = np.atleast_1d(np.asarray(result.eta))
+    n = int(iters.shape[0])
+    q = np.percentile(iters, [25, 50, 75])
+    unconverged = np.nonzero(~conv)[0]
+    nonfinite = np.nonzero(~np.isfinite(eta))[0]
+    return {
+        "n_systems": n,
+        "n_converged": int(conv.sum()),
+        "convergence_rate": float(conv.mean()),
+        "iters_min": int(iters.min()),
+        "iters_p25": float(q[0]),
+        "iters_median": float(q[1]),
+        "iters_p75": float(q[2]),
+        "iters_max": int(iters.max()),
+        "iters_mean": float(iters.mean()),
+        "straggler_index": int(iters.argmax()),
+        "eta_max_abs": float(np.abs(eta[np.isfinite(eta)]).max())
+        if np.isfinite(eta).any() else float("nan"),
+        "unconverged_indices": [int(i) for i in unconverged[:16]],
+        "nonfinite_eta_indices": [int(i) for i in nonfinite[:16]],
+    }

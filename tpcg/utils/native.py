@@ -28,9 +28,13 @@ def _find_lib():
     if _TRIED:
         return _LIB
     _TRIED = True
-    here = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    for cand in (os.path.join(here, "csrc", "libtpcg_host.so"),
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(pkg)
+    # wheel installs ship the library INSIDE the package (setup.py builds
+    # csrc/cbtd.cpp to tpcg/libtpcg_host.so); source checkouts build it in
+    # csrc/ via make
+    for cand in (os.path.join(pkg, "libtpcg_host.so"),
+                 os.path.join(here, "csrc", "libtpcg_host.so"),
                  os.path.join(here, "libtpcg_host.so")):
         if os.path.exists(cand):
             try:

@@ -156,12 +156,43 @@ def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None):
     return dx, du, res
 
 
+class _SQPFns(NamedTuple):
+    """Jitted per-iteration pieces, built once and reused across SQP (and,
+    for the bounded solver, across AL outer) iterations. All take the AL
+    state ``(lam_lo, lam_hi, rho)`` as trailing TRACED arguments, so
+    multiplier/penalty updates never retrace — with expensive dynamics one
+    retrace costs more than the entire numeric solve."""
+    qp: callable
+    merit_batch: callable
+    merit0: callable
+    defect: callable
+    obj: callable
+
+
+def _build_fns(p: TrajOptProblem, reg, config, bounds,
+               n_al: int) -> _SQPFns:
+    def with_al(al):
+        return tuple(al) if al else None
+
+    qp = jax.jit(lambda X_, U_, *al: _qp_step(p, X_, U_, reg, config,
+                                              bounds, with_al(al)))
+    merit_batch = jax.jit(jax.vmap(
+        lambda a, X_, U_, dx, du, mu, *al: _merit(
+            p, X_ + a * dx, U_ + a * du, mu, bounds, with_al(al)),
+        in_axes=(0,) + (None,) * (5 + n_al)))
+    merit0 = jax.jit(lambda X_, U_, mu, *al: _merit(p, X_, U_, mu, bounds,
+                                                    with_al(al)))
+    defect = jax.jit(lambda X_, U_: jnp.max(jnp.abs(_defects(p, X_, U_))))
+    obj = jax.jit(lambda X_, U_: _objective(p, X_, U_))
+    return _SQPFns(qp, merit_batch, merit0, defect, obj)
+
+
 def sqp_solve(p: TrajOptProblem, X0=None, U0=None, *,
               max_sqp_iters: int = 20, step_tol: float = 1e-4,
               defect_tol: float = 1e-4, merit_mu: float = 10.0,
               reg: float = 1e-6, n_alphas: int = 8,
               config: Optional[PCGConfig] = None,
-              _bounds=None, _al=None) -> SQPResult:
+              _bounds=None, _al=None, _fns=None) -> SQPResult:
     """Solve a nonlinear trajectory-optimization problem by SQP.
 
     Args:
@@ -187,42 +218,34 @@ def sqp_solve(p: TrajOptProblem, X0=None, U0=None, *,
                                  preconditioner="symmetric_stair")
     alphas = 2.0 ** -jnp.arange(n_alphas, dtype=p.Q.dtype)
 
-    # jit every per-iteration piece ONCE per solve: the Gauss-Newton QP
-    # (linearize + assemble + PCG) would otherwise re-trace each SQP
-    # iteration — for expensive dynamics (the rigid-body chain's RK4 +
-    # jacfwd traces in ~10 s) re-tracing dominates total wall time
-    qp_j = jax.jit(lambda X_, U_: _qp_step(p, X_, U_, reg, config,
-                                           _bounds, _al))
-    # mu is an argument, not a closure: it adapts per iteration (below)
-    merit_batch = jax.jit(jax.vmap(
-        lambda a, X_, U_, dx, du, mu: _merit(p, X_ + a * dx, U_ + a * du,
-                                             mu, _bounds, _al),
-        in_axes=(0, None, None, None, None, None)))
-    merit0_j = jax.jit(lambda X_, U_, mu: _merit(p, X_, U_, mu,
-                                                 _bounds, _al))
-    defect_j = jax.jit(
-        lambda X_, U_: jnp.max(jnp.abs(_defects(p, X_, U_))))
-    obj_j = jax.jit(lambda X_, U_: _objective(p, X_, U_))
+    # jit every per-iteration piece ONCE (the Gauss-Newton QP — linearize +
+    # assemble + PCG — would otherwise re-trace each SQP iteration, and
+    # for expensive dynamics the re-trace costs more than the solve); the
+    # AL state rides through as traced arguments so the bounded solver's
+    # multiplier updates reuse the same executables
+    al_args = (() if _al is None else
+               tuple(jnp.asarray(a, p.Q.dtype) for a in _al))
+    fns = _fns or _build_fns(p, reg, config, _bounds, len(al_args))
 
     history = []
     converged = False
     it = 0
     for it in range(1, max_sqp_iters + 1):
-        dx, du, res = qp_j(X, U)
+        dx, du, res = fns.qp(X, U, *al_args)
         # the l1 exact-penalty descent condition needs mu > |multipliers|_inf
         # (res.lam IS the dynamics-multiplier estimate); a fixed mu that is
         # too small rejects genuine QP steps — observed on the manipulator,
         # whose gravity torques put the multipliers at ~50 vs merit_mu=10
         mu_t = max(merit_mu, 2.0 * float(jnp.max(jnp.abs(res.lam))))
-        merits = merit_batch(alphas, X, U, dx, du, mu_t)
+        merits = fns.merit_batch(alphas, X, U, dx, du, mu_t, *al_args)
         best = int(jnp.argmin(merits))
-        m0 = float(merit0_j(X, U, mu_t))
+        m0 = float(fns.merit0(X, U, mu_t, *al_args))
         alpha = float(alphas[best]) if float(merits[best]) < m0 else 0.0
         X = X + alpha * dx
         U = U + alpha * du
         step = float(jnp.max(jnp.abs(alpha * dx))) if alpha else 0.0
-        defect = float(defect_j(X, U))
-        history.append(dict(cost=float(obj_j(X, U)), defect=defect,
+        defect = float(fns.defect(X, U))
+        history.append(dict(cost=float(fns.obj(X, U)), defect=defect,
                             pcg_iters=int(res.iters), alpha=alpha,
                             step=step))
         if alpha == 0.0:
@@ -231,10 +254,10 @@ def sqp_solve(p: TrajOptProblem, X0=None, U0=None, *,
             converged = True
             break
 
-    defect = float(defect_j(X, U))
+    defect = float(fns.defect(X, U))
     converged = converged or defect < defect_tol
     return SQPResult(x=X, u=U, iterations=it, converged=converged,
-                     cost=float(obj_j(X, U)), defect=defect,
+                     cost=float(fns.obj(X, U)), defect=defect,
                      history=history)
 
 
@@ -275,10 +298,18 @@ def sqp_solve_bounded(p: TrajOptProblem, u_lo, u_hi, X0=None, U0=None, *,
     history = []
     viol_prev = jnp.inf
     res = None
+    # build the jitted SQP pieces ONCE; multipliers and rho are traced
+    # arguments, so the outer AL updates reuse the same executables (one
+    # build per outer iteration would pay the full dynamics re-trace 10x)
+    fns = _build_fns(p, sqp_kwargs.get("reg", 1e-6),
+                     sqp_kwargs.get("config") or PCGConfig(
+                         exit_tol=1e-8, max_iter=200,
+                         preconditioner="symmetric_stair"),
+                     (u_lo, u_hi), n_al=3)
     for _ in range(al_iters):
         res = sqp_solve(p, X, U, max_sqp_iters=inner_iters,
                         _bounds=(u_lo, u_hi), _al=(lam_lo, lam_hi, rho),
-                        **sqp_kwargs)
+                        _fns=fns, **sqp_kwargs)
         X, U = res.x, res.u
         g_hi = U - u_hi
         g_lo = u_lo - U

@@ -34,11 +34,14 @@ def main():
     # ~30 ms dispatch-phase hit; the rigorous number comes from bench.py
     dt = min(_timed_call(S, gamma, cfg) for _ in range(3))
 
-    iters = np.asarray(res.iters)
-    print(f"{B} systems (n={n}, K={K}): all converged = "
-          f"{bool(np.asarray(res.converged).all())}")
-    print(f"iterations: min {iters.min()}  median {int(np.median(iters))}  "
-          f"max {iters.max()}")
+    # the fleet roll-up a production deployment would log (JSON-ready)
+    from tpcg.utils.diagnostics import fleet_summary
+    s = fleet_summary(res)
+    print(f"{B} systems (n={n}, K={K}): convergence rate "
+          f"{s['convergence_rate']:.3f}")
+    print(f"iterations: min {s['iters_min']}  median "
+          f"{s['iters_median']:.0f}  p75 {s['iters_p75']:.0f}  max "
+          f"{s['iters_max']} (straggler #{s['straggler_index']})")
     print(f"wall: {dt*1e3:.1f} ms total, {dt/B*1e6:.1f} us per system "
           f"(single launch, incl. host dispatch)")
 

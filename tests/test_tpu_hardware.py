@@ -80,3 +80,35 @@ def test_bdmv_precision_on_chip():
     y64 = (A64 @ np.asarray(x, np.float64).reshape(-1)).reshape(K, n)
     rel = np.abs(y - y64).max() / np.abs(y64).max()
     assert rel < 5e-6, f"bdmv relative error {rel:.2e} — bf16-grade matmul?"
+
+
+def test_packed_fleet_route_compiles_and_matches_on_chip():
+    """The batched public API's auto-chosen lane pack must COMPILE on real
+    silicon (the VMEM model is calibrated against Mosaic's actual scoped
+    accounting — an optimistic model OOMs only here, never on the CPU
+    suite; regression: plan_pack picked a 16.37 MiB pack against the
+    16 MiB limit) and match per-system jnp solves."""
+    _require_tpu()
+    from tpcg import pcg_solve_batched, precond
+    from tpcg.models import trajopt
+    from tpcg.solver import jnp_backend
+    from tpcg.types import BlockTridiag, PCGConfig
+
+    B, n, K = 32, 14, 128
+    Sb, gb = trajopt.batch_systems(jax.random.PRNGKey(3), B, n, K)
+    for method in ("pipelined", "classic"):
+        res = pcg_solve_batched(
+            Sb.blocks, gb, config=PCGConfig(
+                exit_tol=1e-6, max_iter=100,
+                preconditioner="symmetric_stair", method=method),
+            backend="pallas")
+        assert bool(np.asarray(res.converged).all()), method
+        for b in range(0, B, 8):
+            pb = precond.build(BlockTridiag(Sb.blocks[b]),
+                               "symmetric_stair").blocks
+            r1 = jnp_backend.pcg_jnp(Sb.blocks[b], pb, gb[b],
+                                     jnp.zeros_like(gb[b]),
+                                     exit_tol=1e-6, max_iter=100)
+            np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                       np.asarray(r1.lam),
+                                       rtol=5e-3, atol=5e-3)

@@ -86,21 +86,27 @@ def packed_vmem_bytes(state_size: int, pack_lanes: int, dtype=jnp.float32,
                       identity_pinv: bool = False, precond: str = None,
                       method: str = "classic", lean: bool = False) -> int:
     """VMEM model for the lane-packed batched kernel (tpcg/ops/packed.py):
-    the fused model at K -> P*K, plus the grid pipeline's double-buffered
-    operand windows — the next grid step's S (and Pinv, and the three
-    vector blocks) are DMA'd into VMEM while the current pack solves, a
-    charge the gridless single-system kernel never pays. Validated on
-    chip: in-kernel symmetric_stair at n=14, PK=1024 fast/pipelined
-    measured 16.37 MiB scoped (OOM over the 16 MiB limit; this model says
-    15.4 MiB > the 15 MiB budget — reject), while PK=512 compiles and
-    runs."""
+    the fused model at K -> P*K, plus the grid pipeline's buffering
+    overhead — the next grid step's S (and Pinv, and the vector blocks)
+    are DMA'd into VMEM while the current pack solves, a charge the
+    gridless single-system kernel never pays.
+
+    The per-matrix-operand charge is 1.75 x S, CALIBRATED on chip rather
+    than derived: in-kernel symmetric_stair at n=14, PK=1024 fast/
+    pipelined measured 16.37 MiB scoped (Mosaic OOM report) vs 11.8 MiB
+    from the fused model alone — the pipeline costs ~1.66 x S beyond one
+    resident window, not the naive 1.0 x. With this charge the model
+    rejects that config (17.5 MiB > 15 budget) and accepts PK=512 fast
+    (8.8 MiB) and PK=1024 lean (13.7 MiB), both of which compile and run
+    on chip."""
     n, pk = state_size, pack_lanes
     itemsize = jnp.dtype(dtype).itemsize
     n_pad = -(-n // 8) * 8
     pk_pad = -(-pk // 128) * 128
     S_bytes = 3 * n * n_pad * pk_pad * itemsize
     explicit = (precond in (None, "explicit")) and not identity_pinv
-    bufs = S_bytes * (2 if explicit else 1) + 3 * n_pad * pk_pad * itemsize
+    bufs = int(1.75 * S_bytes) * (2 if explicit else 1) \
+        + 3 * n_pad * pk_pad * itemsize
     return fused_vmem_bytes(state_size, pk, dtype, identity_pinv, precond,
                             1, method, lean) + bufs
 

@@ -13,8 +13,13 @@ the right-hand sides are not mutually orthogonal-in-A.
 
 Cost per iteration vs multirhs: the sweep (R bdmv + R preconditioner
 applies) is identical; the scalars grow from R dots to two R x R Gram
-matrices plus two R x R solves. At trajopt sizes those Grams are (R, N)
-contractions XLA fuses well; measured numbers live in docs/ROADMAP.md.
+matrices plus two R x R eigh-based solves. Measured on chip (iiwa n=14
+K=128, symmetric_stair, tol 1e-6, R=4/8): the strong preconditioner
+already clusters the spectrum, so the block method saves only ~1
+iteration (33 vs 34) while the XLA-path Gram/eigh machinery costs
+150-220 us/rhs against the fused multirhs kernel's 7-11 — use this for
+robustness on weakly preconditioned correlated batches, not for latency
+(docs/ROADMAP.md item 8).
 
 Semantics: the per-column exit test matches the reference's absolute
 ``|eta_jj| < tol`` on the preconditioned residual inner product

@@ -86,6 +86,28 @@ def test_bounded_sqp_respects_active_control_bounds():
     assert res.cost >= free.cost - 1e-3
 
 
+def test_bounded_sqp_state_constraints():
+    """Velocity corridor on the quadrotor: the unconstrained trajectory
+    exceeds |vx| <= v_max; the AL solution must respect it (to tolerance)
+    while keeping defects closed."""
+    p = quadrotor_hover_problem(K=24)
+    free = sqp_solve(p)
+    v_max = 0.7 * float(jnp.max(jnp.abs(free.x[1:, 3])))
+    assert v_max > 0.05, "trivial velocity profile — test would be vacuous"
+    big = 100.0
+    x_lo = jnp.asarray([-big, -big, -big, -v_max, -big, -big], jnp.float32)
+    x_hi = jnp.asarray([big, big, big, v_max, big, big], jnp.float32)
+    res = sqp_solve_bounded(p, -big, big, x_lo=x_lo, x_hi=x_hi,
+                            viol_tol=1e-3)
+    assert res.converged
+    assert res.max_violation < 1e-3
+    assert res.defect < 1e-3
+    vx = np.asarray(res.x[1:, 3])
+    assert np.abs(vx).max() <= v_max + 1e-3
+    # the limit binds (the constrained optimum saturates the corridor)
+    assert np.abs(vx).max() > 0.9 * v_max
+
+
 def test_bounded_sqp_inactive_bounds_match_unconstrained():
     """Slack bounds: the AL loop must terminate in one outer iteration and
     reproduce the unconstrained solution."""

@@ -87,33 +87,41 @@ def _defects(p: TrajOptProblem, X, U):
     return jax.vmap(p.dynamics)(X[:-1], U) - X[1:]
 
 
-def _al_terms(U, bounds, al):
-    """PHR augmented-Lagrangian terms for the box constraint
-    ``u_lo <= U <= u_hi``: scalar penalty value, its gradient wrt U, and
-    its (diagonal) Hessian wrt U.
+def _al_terms(V, lo, hi, lam_lo, lam_hi, rho):
+    """PHR augmented-Lagrangian terms for a box constraint
+    ``lo <= V <= hi`` on any decision-variable block (controls or states):
+    scalar penalty value, its gradient wrt V, and its (diagonal) Hessian.
 
-    With one-sided violations ``g_hi = U - u_hi`` / ``g_lo = u_lo - U`` and
+    With one-sided violations ``g_hi = V - hi`` / ``g_lo = lo - V`` and
     multipliers ``lam_* >= 0``, each side contributes
     ``(max(0, lam + rho g)^2 - lam^2) / (2 rho)`` — smooth, piecewise
     quadratic, exact at ``rho -> inf`` and already exact for finite rho
     once the multipliers converge (the standard Powell-Hestenes-Rockafellar
     form). The inner Gauss-Newton QP sees it through its gradient (into
-    ``r``) and active-set diagonal Hessian ``rho`` (into ``R``)."""
-    u_lo, u_hi = bounds
-    lam_lo, lam_hi, rho = al
-    t_hi = jnp.maximum(0.0, lam_hi + rho * (U - u_hi))
-    t_lo = jnp.maximum(0.0, lam_lo + rho * (u_lo - U))
+    ``r``/``q``) and active-set diagonal Hessian ``rho`` (into
+    ``R``/``Q``)."""
+    t_hi = jnp.maximum(0.0, lam_hi + rho * (V - hi))
+    t_lo = jnp.maximum(0.0, lam_lo + rho * (lo - V))
     val = (jnp.sum(t_hi ** 2 - lam_hi ** 2) +
            jnp.sum(t_lo ** 2 - lam_lo ** 2)) / (2.0 * rho)
     grad = t_hi - t_lo
-    hess_diag = rho * ((t_hi > 0) | (t_lo > 0)).astype(U.dtype)
+    hess_diag = rho * ((t_hi > 0) | (t_lo > 0)).astype(V.dtype)
     return val, grad, hess_diag
 
 
 def _merit(p: TrajOptProblem, X, U, mu, bounds=None, al=None):
+    """``bounds = (u_bounds, x_bounds)``, each ``(lo, hi)`` or None;
+    ``al = (lam_u_lo, lam_u_hi, lam_x_lo, lam_x_hi, rho)`` (dummy zero
+    arrays for an absent side). State bounds apply to ``X[1:]`` — row 0
+    is the pinned initial state, which the optimizer cannot move."""
     m = _objective(p, X, U) + mu * jnp.sum(jnp.abs(_defects(p, X, U)))
     if bounds is not None:
-        m = m + _al_terms(U, bounds, al)[0]
+        ub, xb = bounds
+        lul, luh, lxl, lxh, rho = al
+        if ub is not None:
+            m = m + _al_terms(U, ub[0], ub[1], lul, luh, rho)[0]
+        if xb is not None:
+            m = m + _al_terms(X[1:], xb[0], xb[1], lxl, lxh, rho)[0]
     return m
 
 
@@ -137,16 +145,27 @@ def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None):
     gx = jnp.einsum('kij,kj->ki', p.Q, X, precision=_HIGH) + p.q
     gu = jnp.einsum('kij,kj->ki', p.R, U, precision=_HIGH) + p.r
     R_eff = p.R
+    Q_eff = p.Q
     if bounds is not None:
-        # AL bound penalty enters the QP exactly: gradient into r, diagonal
-        # active-set Hessian (rho per active coordinate) into R
-        _, pen_grad, pen_hess = _al_terms(U, bounds, al)
-        gu = gu + pen_grad
-        eyeM = jnp.broadcast_to(jnp.eye(m, dtype=U.dtype), p.R.shape)
-        R_eff = p.R + pen_hess[..., :, None] * eyeM
+        # AL bound penalties enter the QP exactly: gradients into r/q,
+        # diagonal active-set Hessians (rho per active coordinate) into R/Q
+        ub, xb = bounds
+        lul, luh, lxl, lxh, rho = al
+        if ub is not None:
+            _, pen_grad, pen_hess = _al_terms(U, ub[0], ub[1], lul, luh,
+                                              rho)
+            gu = gu + pen_grad
+            eyeM = jnp.broadcast_to(jnp.eye(m, dtype=U.dtype), p.R.shape)
+            R_eff = p.R + pen_hess[..., :, None] * eyeM
+        if xb is not None:
+            _, pen_grad, pen_hess = _al_terms(X[1:], xb[0], xb[1], lxl,
+                                              lxh, rho)
+            gx = gx.at[1:].add(pen_grad)
+            eyeN = jnp.eye(n, dtype=X.dtype)
+            Q_eff = Q_eff.at[1:].add(pen_hess[..., :, None] * eyeN)
     eyeK = jnp.broadcast_to(jnp.eye(n, dtype=X.dtype), p.Q.shape)
     dt = p.Q.dtype  # user dynamics may emit f64 under x64; pin to cost dtype
-    qp = LQRProblem(Q=p.Q + reg * eyeK, q=gx.astype(dt), R=R_eff.astype(dt),
+    qp = LQRProblem(Q=Q_eff + reg * eyeK, q=gx.astype(dt), R=R_eff.astype(dt),
                     r=gu.astype(dt), A=A.astype(dt), B=B.astype(dt),
                     c=d.astype(dt),
                     x_init=(p.x_init - X[0]).astype(dt))
@@ -262,14 +281,17 @@ def sqp_solve(p: TrajOptProblem, X0=None, U0=None, *,
 
 
 def sqp_solve_bounded(p: TrajOptProblem, u_lo, u_hi, X0=None, U0=None, *,
+                      x_lo=None, x_hi=None,
                       al_iters: int = 10, rho0: float = 10.0,
                       rho_mult: float = 5.0, viol_tol: float = 1e-4,
                       inner_iters: int = 10,
                       **sqp_kwargs) -> SQPResult:
-    """SQP with control box bounds ``u_lo <= u <= u_hi`` via an augmented-
-    Lagrangian outer loop (the inequality layer MPCGPU adds above the
-    reference's equality-constrained solve; /root/reference/README.md:66-77
-    — the PCG core stays untouched, the bounds enter through the QP's R/r).
+    """SQP with control box bounds ``u_lo <= u <= u_hi`` — and optionally
+    state box bounds ``x_lo <= x_k <= x_hi`` for k >= 1 (velocity limits,
+    position corridors) — via an augmented-Lagrangian outer loop (the
+    inequality layer MPCGPU adds above the reference's
+    equality-constrained solve; /root/reference/README.md:66-77 — the PCG
+    core stays untouched, the bounds enter through the QP's R/r and Q/q).
 
     Each outer iteration solves a smooth bound-penalized SQP subproblem
     (:func:`sqp_solve` with the PHR penalty of :func:`_al_terms` folded
@@ -280,6 +302,8 @@ def sqp_solve_bounded(p: TrajOptProblem, u_lo, u_hi, X0=None, U0=None, *,
 
     Args:
       u_lo, u_hi: ``(m,)`` or ``(K-1, m)`` control bounds (broadcast).
+      x_lo, x_hi: optional ``(n,)`` or ``(K-1, n)`` state bounds, applied
+        to ``x_1 .. x_{K-1}`` (``x_0`` is the pinned initial state).
       al_iters: outer multiplier-update cap.
       rho0 / rho_mult: initial penalty weight and its escalation factor.
       viol_tol: max-norm bound-violation tolerance.
@@ -287,17 +311,28 @@ def sqp_solve_bounded(p: TrajOptProblem, u_lo, u_hi, X0=None, U0=None, *,
       **sqp_kwargs: forwarded to :func:`sqp_solve`.
     """
     K, m = p.R.shape[0] + 1, p.R.shape[-1]
+    n = p.Q.shape[-1]
     dt_ = p.R.dtype
     u_lo = jnp.broadcast_to(jnp.asarray(u_lo, dt_), (K - 1, m))
     u_hi = jnp.broadcast_to(jnp.asarray(u_hi, dt_), (K - 1, m))
-    lam_lo = jnp.zeros((K - 1, m), dt_)
-    lam_hi = jnp.zeros((K - 1, m), dt_)
+    ub = (u_lo, u_hi)
+    if (x_lo is None) != (x_hi is None):
+        raise ValueError("pass both x_lo and x_hi, or neither")
+    xb = None
+    if x_lo is not None:
+        xb = (jnp.broadcast_to(jnp.asarray(x_lo, dt_), (K - 1, n)),
+              jnp.broadcast_to(jnp.asarray(x_hi, dt_), (K - 1, n)))
+    lam_u_lo = jnp.zeros((K - 1, m), dt_)
+    lam_u_hi = jnp.zeros((K - 1, m), dt_)
+    lam_x_lo = jnp.zeros((K - 1, n), dt_)  # dummy zeros when xb is None
+    lam_x_hi = jnp.zeros((K - 1, n), dt_)
     rho = rho0
     X, U = X0, U0
     defect_tol = sqp_kwargs.get("defect_tol", 1e-4)
     history = []
     viol_prev = jnp.inf
     res = None
+    bounds = (ub, xb)
     # build the jitted SQP pieces ONCE; multipliers and rho are traced
     # arguments, so the outer AL updates reuse the same executables (one
     # build per outer iteration would pay the full dynamics re-trace 10x)
@@ -305,16 +340,23 @@ def sqp_solve_bounded(p: TrajOptProblem, u_lo, u_hi, X0=None, U0=None, *,
                      sqp_kwargs.get("config") or PCGConfig(
                          exit_tol=1e-8, max_iter=200,
                          preconditioner="symmetric_stair"),
-                     (u_lo, u_hi), n_al=3)
+                     bounds, n_al=5)
+
+    def max_violation(X_, U_):
+        v = jnp.max(jnp.maximum(
+            jnp.maximum(U_ - u_hi, u_lo - U_), 0.0))
+        if xb is not None:
+            v = jnp.maximum(v, jnp.max(jnp.maximum(
+                jnp.maximum(X_[1:] - xb[1], xb[0] - X_[1:]), 0.0)))
+        return float(v)
+
     for _ in range(al_iters):
         res = sqp_solve(p, X, U, max_sqp_iters=inner_iters,
-                        _bounds=(u_lo, u_hi), _al=(lam_lo, lam_hi, rho),
+                        _bounds=bounds,
+                        _al=(lam_u_lo, lam_u_hi, lam_x_lo, lam_x_hi, rho),
                         _fns=fns, **sqp_kwargs)
         X, U = res.x, res.u
-        g_hi = U - u_hi
-        g_lo = u_lo - U
-        viol = float(jnp.maximum(jnp.max(jnp.maximum(g_hi, 0.0)),
-                                 jnp.max(jnp.maximum(g_lo, 0.0))))
+        viol = max_violation(X, U)
         history.append(dict(violation=viol, rho=rho, cost=res.cost,
                             defect=res.defect,
                             inner_iters=res.iterations,
@@ -324,18 +366,17 @@ def sqp_solve_bounded(p: TrajOptProblem, u_lo, u_hi, X0=None, U0=None, *,
                              converged=True, cost=res.cost,
                              defect=res.defect, history=history,
                              max_violation=viol)
-        lam_hi = jnp.maximum(0.0, lam_hi + rho * g_hi)
-        lam_lo = jnp.maximum(0.0, lam_lo + rho * g_lo)
+        lam_u_hi = jnp.maximum(0.0, lam_u_hi + rho * (U - u_hi))
+        lam_u_lo = jnp.maximum(0.0, lam_u_lo + rho * (u_lo - U))
+        if xb is not None:
+            lam_x_hi = jnp.maximum(0.0, lam_x_hi + rho * (X[1:] - xb[1]))
+            lam_x_lo = jnp.maximum(0.0, lam_x_lo + rho * (xb[0] - X[1:]))
         if viol > 0.25 * viol_prev:
             rho *= rho_mult
         viol_prev = viol
-    g_hi = U - u_hi
-    g_lo = u_lo - U
-    viol = float(jnp.maximum(jnp.max(jnp.maximum(g_hi, 0.0)),
-                             jnp.max(jnp.maximum(g_lo, 0.0))))
     return SQPResult(x=X, u=U, iterations=len(history), converged=False,
                      cost=res.cost, defect=res.defect, history=history,
-                     max_violation=viol)
+                     max_violation=max_violation(X, U))
 
 
 def quadrotor_hover_problem(K: int = 32, dt: float = 0.05,

@@ -318,6 +318,22 @@ def _fits_any(state_size, pk, dtype, identity_pinv, precond, method):
                        method, lean=True))
 
 
+def _fits_vmem_stream(state_size, pk, dtype, identity_pinv, precond,
+                      method):
+    """Stream variant VMEM: the fused (gridless) model — the manual DMA
+    scratch IS the operand buffer, no pipeline double-buffering — plus the
+    small double-buffered vector windows."""
+    from tpcg.utils.feasibility import VMEM_BYTES, VMEM_HEADROOM, \
+        fused_vmem_bytes
+
+    itemsize = jnp.dtype(dtype).itemsize
+    n_pad = -(-state_size // 8) * 8
+    vec_windows = 3 * n_pad * pk * itemsize
+    need = fused_vmem_bytes(state_size, pk, dtype, identity_pinv, precond,
+                            1, method, lean=False) + vec_windows
+    return need <= int(VMEM_BYTES * VMEM_HEADROOM)
+
+
 def pack_width(B: int, K: int, state_size: int, dtype=jnp.float32,
                precond: str = None, identity_pinv: bool = False,
                method: str = "classic", max_lanes: int = 2048) -> int:
@@ -366,7 +382,15 @@ def plan_pack(B: int, K: int, state_size: int, dtype=jnp.float32,
     simply cannot run at K < 128 for this reason), so candidates are scored
     by lane utilization K/K_pad first, then fast-variant fit (see
     :func:`pack_width` — a fast narrow pack measured faster than a lean
-    wide one), then pack width P."""
+    wide one), then pack width P.
+
+    Returns ``(P, K_pad, B_pad, stream)``. ``stream=True`` upgrades to the
+    manual-DMA stream variant at DOUBLE the buffered-fast width when it
+    fits and ``K_pad >= 128`` — the measured-win regime (K=128, B=256,
+    in-kernel sym_stair: pipelined 14.5 vs 15.9 us/sys, classic 15.7 vs
+    20.2; at K=32 stream measured a wash-to-loss, so short chains stay on
+    the buffered pipeline). ``stream`` cannot serve explicit-Pinv packs
+    (two matrix operands)."""
     def pow2_at_least(x):
         p = 1
         while p < x:
@@ -392,8 +416,16 @@ def plan_pack(B: int, K: int, state_size: int, dtype=jnp.float32,
         return None  # nothing lane-aligned fits — caller falls back
     cands.sort()
     _, _, P, K_pad = cands[-1]
+    stream = False
+    explicit = (precond in (None, "explicit")) and not identity_pinv
+    if K_pad >= 128 and not explicit:
+        P2 = P * 2  # B_pad below absorbs non-dividing batches
+        if P2 * K_pad <= max_lanes and \
+                _fits_vmem_stream(state_size, P2 * K_pad, dtype,
+                                  identity_pinv, precond, method):
+            P, stream = P2, True
     B_pad = -(-B // P) * P
-    return P, K_pad, B_pad
+    return P, K_pad, B_pad, stream
 
 
 def pad_systems(S_blocks, Pinv_blocks, gamma, lam0, K_pad: int, B_pad: int):
@@ -438,11 +470,11 @@ def pad_systems(S_blocks, Pinv_blocks, gamma, lam0, K_pad: int, B_pad: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond", "method", "P",
-                                    "lean", "interpret"))
+                                    "lean", "stream", "interpret"))
 def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                       max_iter: int, precond: str = None,
                       method: str = "classic", P: int = None,
-                      lean: bool = None,
+                      lean: bool = None, stream: bool = False,
                       interpret: bool = False) -> PCGResult:
     """Batched fused solve, P systems lane-packed per grid step.
 
@@ -463,14 +495,20 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     if precond != "explicit" and Pinv_blocks is not None:
         raise ValueError(f"Pinv_blocks must be None with precond={precond!r}")
     identity_pinv = precond == "identity"
+    if stream and precond == "explicit":
+        raise ValueError("stream=True is implemented for the in-kernel/"
+                         "identity preconditioner paths (one matrix "
+                         "operand to stage)")
     if P is None:
         P = pack_width(B, K, n, dtype, precond=precond,
                        identity_pinv=identity_pinv, method=method)
     if B % P != 0:
         raise ValueError(f"batch {B} not divisible by pack width {P}")
     if lean is None:
-        lean = not _fits_vmem(n, P * K, dtype, identity_pinv, precond,
-                              method, lean=False)
+        # stream has no pipeline buffers — judge by its own accounting
+        lean = (False if stream else
+                not _fits_vmem(n, P * K, dtype, identity_pinv, precond,
+                               method, lean=False))
     G = B // P
     PK = P * K
 
@@ -514,11 +552,31 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
         in_specs = [smem, block((3, n, n, PK)), block((3, n, n, PK)),
                     block((n, PK)), block((n, PK))]
         operands = (tol, S_p, P_p, gamma_p, lam0_p)
+        scratch = ()
+    elif stream:
+        if interpret:
+            raise ValueError("stream=True needs the Mosaic backend "
+                             "(manual HBM->VMEM DMA has no interpret "
+                             "support); use stream=False off-chip")
+        if lean:
+            raise ValueError("stream=True implies the fast (value-loading) "
+                             "kernel; lean ref-slicing cannot read a "
+                             "value operand")
+        n_pad8 = -(-n // 8) * 8
+        S_ps = jnp.pad(S_p, ((0, 0), (0, 0), (0, 0), (0, n_pad8 - n),
+                             (0, 0)))
+        kernel = functools.partial(_pcg_packed_kernel_stream, **kw)
+        in_specs = [smem, pl.BlockSpec(memory_space=pltpu.ANY),
+                    block((n, PK)), block((n, PK))]
+        operands = (tol, S_ps, gamma_p, lam0_p)
+        scratch = (pltpu.VMEM((3, n, n_pad8, PK), dtype),
+                   pltpu.SemaphoreType.DMA)
     else:
         kernel = functools.partial(_pcg_packed_kernel_nopinv, **kw)
         in_specs = [smem, block((3, n, n, PK)), block((n, PK)),
                     block((n, PK))]
         operands = (tol, S_p, gamma_p, lam0_p)
+        scratch = ()
 
     with jax.enable_x64(False):
         lam_p, iters, conv, eta = pl.pallas_call(
@@ -527,6 +585,7 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
             out_shape=out_shape,
             in_specs=in_specs,
             out_specs=(block((n, PK)), smem, smem, smem),
+            scratch_shapes=list(scratch),
             interpret=interpret,
         )(*operands)
 
@@ -542,6 +601,28 @@ def _pcg_packed_kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref,
     _pcg_packed_kernel(tol_ref, S_ref, None, gamma_ref,
                        lam0_ref, lam_ref, iters_ref, conv_ref,
                        eta_ref, **kw)
+
+
+def _pcg_packed_kernel_stream(tol_ref, S_hbm, gamma_ref, lam0_ref,
+                              lam_ref, iters_ref, conv_ref, eta_ref,
+                              S_vmem, dma_sem, **kw):
+    """Stream variant: S lives in HBM (memory_space=ANY, the FULL
+    (G, 3, n, n_pad8, PK) array — the sublane dim is PRE-PADDED to the
+    8-tile because a (…, 14, PK) memref slice fails Mosaic's tiling
+    alignment) and the kernel DMAs its own pack's matrix into ONE VMEM
+    scratch buffer before solving, then value-slices the pad rows off
+    (value slicing has no tiling constraint). The grid pipeline would keep
+    TWO windows resident (measured ~1.75x S of scoped VMEM,
+    tpcg/utils/feasibility.packed_vmem_bytes); single-buffering trades the
+    overlap away — a ~3.4 us DMA against a multi-hundred-us pack solve —
+    to fit one more pack-width doubling."""
+    b = pl.program_id(0)
+    cp = pltpu.make_async_copy(S_hbm.at[b], S_vmem, dma_sem)
+    cp.start()
+    cp.wait()
+    S_val = S_vmem[...][:, :, :kw["n"], :]
+    _pcg_packed_kernel(tol_ref, S_val, None, gamma_ref, lam0_ref,
+                       lam_ref, iters_ref, conv_ref, eta_ref, **kw)
 
 
 def _pcg_packed_kernel_pinv(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,

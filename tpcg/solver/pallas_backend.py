@@ -84,12 +84,17 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     if plan is not None and plan[0] == 1 and K % 128 == 0:
         plan = None  # no amortization to gain; the grid kernel is leaner
     if plan is not None:
-        P, K_pad, B_pad = plan
+        P, K_pad, B_pad, stream = plan
+        if stream and interpret:
+            stream = False  # manual DMA has no interpret support
+            P = P // 2      # back to the buffered-fast width
+            B_pad = -(-B // P) * P
         S_p, P_p, g_p, l_p = pad_systems(S_blocks, Pinv_blocks, gamma,
                                          lam0, K_pad, B_pad)
         res = pcg_pallas_packed(S_p, P_p, g_p, l_p, exit_tol=exit_tol,
                                 max_iter=max_iter, precond=precond,
-                                method=method, P=P, interpret=interpret)
+                                method=method, P=P, stream=stream,
+                                interpret=interpret)
         return PCGResult(lam=res.lam[:B, :K], iters=res.iters[:B],
                          converged=res.converged[:B], eta=res.eta[:B])
 

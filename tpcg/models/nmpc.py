@@ -1,0 +1,133 @@
+"""Closed-loop nonlinear MPC via the real-time iteration (RTI) scheme —
+the deployment pattern the reference's solver exists to serve (MPCGPU,
+/root/reference/README.md:66-77): at every control step, ONE warm-started
+Gauss-Newton QP (linearize at the carried trajectory guess, PCG-solve the
+LQR-KKT Schur complement, full step), apply the first control, shift the
+horizon.
+
+What makes this fast — and what the reference's expert path
+(interface.cuh:93-144) was designed around — is that everything persists
+across steps:
+
+* the trajectory guess (X, U) is shifted, not recomputed (after the
+  transient, it already sits on the optimal manifold and the single QP
+  per step tracks it);
+* the PCG multipliers are carried and shifted (the reference's in/out
+  ``h_lambda``, interface.cuh:58,76), so the inner Krylov solve starts
+  near its solution;
+* every jitted piece is built once (tpcg/models/sqp.py ``_build_fns``
+  pattern) — a control step is a handful of device calls with no
+  retracing.
+
+API: :func:`rti_setup` compiles the per-step function bundle,
+:func:`rti_step` advances one control period, and
+:func:`simulate` runs a closed loop against a plant model (by default the
+problem's own dynamics — use a different ``plant`` for model-mismatch
+studies).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpcg.models.sqp import TrajOptProblem, _defects, _objective, _qp_step
+from tpcg.types import PCGConfig
+
+
+class RTIState(NamedTuple):
+    """Carried across control steps."""
+    X: jax.Array           #: (K, n) trajectory guess
+    U: jax.Array           #: (K-1, m) control guess
+    lam: jax.Array         #: (K, n) PCG multiplier warm start
+    step: jax.Array        #: int32 control-step counter
+    total_pcg_iters: jax.Array  #: cumulative inner-solve iterations
+
+
+class RTIResult(NamedTuple):
+    xs: jax.Array          #: (T, n) closed-loop states (after each step)
+    us: jax.Array          #: (T, m) applied controls
+    pcg_iters: jax.Array   #: (T,) inner PCG iterations per step
+    defects: jax.Array     #: (T,) max dynamics defect of the guess
+    state: RTIState        #: final carried state
+
+
+def _shift_rows(a):
+    return jnp.concatenate([a[1:], a[-1:]], axis=0)
+
+
+def rti_setup(p: TrajOptProblem, *, config: Optional[PCGConfig] = None,
+              reg: float = 1e-6):
+    """Build the jitted one-QP step: ``(X, U, x_measured, lam0) ->
+    (dx, du, PCGResult)``. Shapes are static, the measured state and the
+    multiplier warm start are traced — no retracing across control
+    steps."""
+    config = config or PCGConfig(exit_tol=1e-8, max_iter=200,
+                                 preconditioner="symmetric_stair")
+    qp = jax.jit(lambda X, U, xi, lam0: _qp_step(
+        p, X, U, reg, config, x_init=xi, lam0=lam0))
+    defect = jax.jit(lambda X, U: jnp.max(jnp.abs(_defects(p, X, U))))
+    return qp, defect
+
+
+def rti_init(p: TrajOptProblem, x0) -> RTIState:
+    K, n = p.Q.shape[0], p.Q.shape[-1]
+    m = p.R.shape[-1]
+    dt_ = p.Q.dtype
+    x0 = jnp.asarray(x0, dt_)
+    return RTIState(X=jnp.broadcast_to(x0, (K, n)).astype(dt_),
+                    U=jnp.zeros((K - 1, m), dt_),
+                    lam=jnp.zeros((K, n), dt_),
+                    step=jnp.zeros((), jnp.int32),
+                    total_pcg_iters=jnp.zeros((), jnp.int32))
+
+
+def rti_step(qp, state: RTIState, x_measured, *, alpha: float = 1.0):
+    """One control period: single warm-started QP at the measured state,
+    full (or damped) step, pick ``u_0``, shift the horizon. Returns
+    ``(new_state, u_apply, pcg_result)``."""
+    dx, du, res = qp(state.X, state.U, x_measured, state.lam)
+    X = state.X + alpha * dx
+    U = state.U + alpha * du
+    u0 = U[0]
+    new = RTIState(X=_shift_rows(X), U=_shift_rows(U),
+                   lam=_shift_rows(res.lam),
+                   step=state.step + 1,
+                   total_pcg_iters=state.total_pcg_iters + res.iters)
+    return new, u0, res
+
+
+def simulate(p: TrajOptProblem, x0, n_steps: int, *,
+             plant: Optional[Callable] = None,
+             config: Optional[PCGConfig] = None, reg: float = 1e-6,
+             alpha: float = 1.0, warm_start_lam: bool = True) -> RTIResult:
+    """Closed-loop RTI-MPC rollout: ``n_steps`` control periods of one QP
+    each, applied to ``plant`` (default: the problem's own dynamics).
+
+    ``warm_start_lam=False`` zeroes the carried multipliers each step —
+    the ablation knob for measuring what the reference's h_lambda
+    warm-start pattern is worth in inner iterations."""
+    plant = plant or p.dynamics
+    plant_j = jax.jit(plant)
+    qp, defect = rti_setup(p, config=config, reg=reg)
+    state = rti_init(p, x0)
+    x = jnp.asarray(x0, p.Q.dtype)
+    xs, us, iters, defs = [], [], [], []
+    for _ in range(n_steps):
+        if not warm_start_lam:
+            state = state._replace(lam=jnp.zeros_like(state.lam))
+        # re-anchor the carried guess at the measured state (the shifted
+        # guess's X[0] is last step's x_1 prediction; under model mismatch
+        # they differ)
+        state = state._replace(X=state.X.at[0].set(x))
+        state, u0, res = rti_step(qp, state, x, alpha=alpha)
+        x = plant_j(x, u0)
+        xs.append(x)
+        us.append(u0)
+        iters.append(res.iters)
+        defs.append(defect(state.X, state.U))
+    return RTIResult(xs=jnp.stack(xs), us=jnp.stack(us),
+                     pcg_iters=jnp.stack(iters), defects=jnp.stack(defs),
+                     state=state)

@@ -132,11 +132,19 @@ def _linearize(p: TrajOptProblem, X, U):
     return A, B
 
 
-def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None):
+def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None,
+             x_init=None, lam0=None):
     """One Gauss-Newton QP: assemble the delta-form LQRProblem and PCG-solve
-    its Schur complement. Returns (dx, du, pcg_result)."""
+    its Schur complement. Returns (dx, du, pcg_result).
+
+    ``x_init`` overrides ``p.x_init`` (the RTI-MPC loop re-anchors the QP
+    at each measured state); ``lam0`` warm-starts the inner PCG solve (the
+    reference's in/out ``h_lambda`` pattern, interface.cuh:58,76 — carried
+    across MPC steps)."""
     from tpcg.solver.api import pcg_solve
 
+    if x_init is None:
+        x_init = p.x_init
     n = X.shape[-1]
     m = U.shape[-1]
     A, B = _linearize(p, X, U)
@@ -168,9 +176,9 @@ def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None):
     qp = LQRProblem(Q=Q_eff + reg * eyeK, q=gx.astype(dt), R=R_eff.astype(dt),
                     r=gu.astype(dt), A=A.astype(dt), B=B.astype(dt),
                     c=d.astype(dt),
-                    x_init=(p.x_init - X[0]).astype(dt))
+                    x_init=(x_init - X[0]).astype(dt))
     S, gamma = schur_system(qp)
-    res = pcg_solve(S, gamma, config=config)
+    res = pcg_solve(S, gamma, lam0, config=config)
     dx, du = recover_primal(qp, res.lam)
     return dx, du, res
 

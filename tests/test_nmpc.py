@@ -41,6 +41,66 @@ def test_rti_handles_model_mismatch():
     assert np.abs(tail - tail[-1]).max() < 0.02  # settled
 
 
+def test_rti_actuator_bounds():
+    """Thrust limits that the unconstrained transient exceeds: the bounded
+    RTI loop must keep every applied control within limits and still reach
+    hover (the limit mostly binds during the aggressive transient)."""
+    p = quadrotor_hover_problem(K=16)
+    free = nmpc.simulate(p, p.x_init, n_steps=60)
+    u_hi = 0.8 * float(jnp.max(free.us))
+    u_lo = 2.0
+    assert float(jnp.max(free.us)) > u_hi  # the limit would bind
+    res = nmpc.simulate(p, p.x_init, n_steps=80, u_lo=u_lo, u_hi=u_hi)
+    us = np.asarray(res.us)
+    assert us.max() <= u_hi + 1e-5 and us.min() >= u_lo - 1e-5
+    x_final = np.asarray(res.xs[-1])
+    assert np.abs(x_final[:3]).max() < 0.1, x_final
+    assert np.all(np.isfinite(np.asarray(res.xs)))
+
+
+def test_rti_rigid_body_chain():
+    """Closed-loop RTI on a 3-DoF rigid-body chain (a short iiwa-class
+    arm, kept small so the Lagrangian-autodiff QP traces fast): reaches
+    and holds the goal configuration through true nonlinear dynamics."""
+    from tpcg.models.rigid_body import ChainModel, iiwa14_like, rk4_step
+    from tpcg.models.sqp import TrajOptProblem
+
+    full = iiwa14_like()
+    model = ChainModel(*(a[:3] for a in
+                         (full.axes, full.origins, full.masses, full.coms,
+                          full.inertias, full.damping)),
+                       gravity=full.gravity, armature=full.armature[:3])
+    nj, K, dt = 3, 12, 0.03
+    n, m = 2 * nj, nj
+    f32 = jnp.float32
+    q_goal = jnp.asarray([0.6, 0.5, -0.4], f32)
+    x_goal = jnp.concatenate([q_goal, jnp.zeros(nj, f32)])
+    w = jnp.concatenate([jnp.full((nj,), 5.0, f32),
+                         jnp.full((nj,), 0.5, f32)])
+    Q = jnp.broadcast_to(jnp.diag(w), (K, n, n)).astype(f32)
+    Q = Q.at[-1].multiply(10.0)
+    q_lin = -jnp.einsum('kij,j->ki', Q, x_goal)
+    R = jnp.broadcast_to(0.01 * jnp.eye(m, dtype=f32), (K - 1, m, m))
+    # reference the gravity-compensation torque at the goal: a pure
+    # quadratic tracking cost otherwise trades position error against
+    # torque cost and parks with a steady-state offset
+    from tpcg.models.rigid_body import inverse_dynamics
+    u_ss = inverse_dynamics(model, q_goal, jnp.zeros(nj, f32),
+                            jnp.zeros(nj, f32))
+    r_lin = jnp.broadcast_to(-jnp.einsum('ij,j->i', R[0], u_ss),
+                             (K - 1, m)).astype(f32)
+    p = TrajOptProblem(
+        dynamics=lambda x, u: rk4_step(model, x, u, dt),
+        Q=Q, q=q_lin, R=R, r=r_lin,
+        x_init=jnp.zeros(n, jnp.float32))
+    res = nmpc.simulate(p, p.x_init, n_steps=50)
+    q_end = np.asarray(res.xs[-1][:nj])
+    np.testing.assert_allclose(q_end, np.asarray(q_goal), atol=0.05)
+    qd_end = np.asarray(res.xs[-1][nj:])
+    assert np.abs(qd_end).max() < 0.05
+    assert np.all(np.isfinite(np.asarray(res.xs)))
+
+
 def test_rti_multiplier_warm_start_cuts_inner_iterations():
     """The carried-and-shifted PCG multipliers (the reference's in/out
     h_lambda, interface.cuh:58,76) must reduce inner iterations vs

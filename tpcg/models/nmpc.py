@@ -38,12 +38,16 @@ from tpcg.types import PCGConfig
 
 
 class RTIState(NamedTuple):
-    """Carried across control steps."""
+    """Carried across control steps. The trailing fields are the
+    augmented-Lagrangian state for actuator bounds (zeros when
+    unconstrained — they ride along untouched)."""
     X: jax.Array           #: (K, n) trajectory guess
     U: jax.Array           #: (K-1, m) control guess
     lam: jax.Array         #: (K, n) PCG multiplier warm start
     step: jax.Array        #: int32 control-step counter
     total_pcg_iters: jax.Array  #: cumulative inner-solve iterations
+    lam_u_lo: jax.Array = None  #: (K-1, m) bound multipliers (lower)
+    lam_u_hi: jax.Array = None  #: (K-1, m) bound multipliers (upper)
 
 
 class RTIResult(NamedTuple):
@@ -59,15 +63,29 @@ def _shift_rows(a):
 
 
 def rti_setup(p: TrajOptProblem, *, config: Optional[PCGConfig] = None,
-              reg: float = 1e-6):
-    """Build the jitted one-QP step: ``(X, U, x_measured, lam0) ->
-    (dx, du, PCGResult)``. Shapes are static, the measured state and the
-    multiplier warm start are traced — no retracing across control
-    steps."""
+              reg: float = 1e-6, u_lo=None, u_hi=None):
+    """Build the jitted one-QP step: ``(X, U, x_measured, lam0[,
+    lam_u_lo, lam_u_hi, rho]) -> (dx, du, PCGResult)``. Shapes are static;
+    the measured state, the multiplier warm start, and (when actuator
+    bounds are given) the AL bound state are traced — no retracing across
+    control steps."""
     config = config or PCGConfig(exit_tol=1e-8, max_iter=200,
                                  preconditioner="symmetric_stair")
-    qp = jax.jit(lambda X, U, xi, lam0: _qp_step(
-        p, X, U, reg, config, x_init=xi, lam0=lam0))
+    if (u_lo is None) != (u_hi is None):
+        raise ValueError("pass both u_lo and u_hi, or neither")
+    if u_lo is None:
+        qp = jax.jit(lambda X, U, xi, lam0: _qp_step(
+            p, X, U, reg, config, x_init=xi, lam0=lam0))
+    else:
+        K, m = p.R.shape[0] + 1, p.R.shape[-1]
+        dt_ = p.R.dtype
+        ub = (jnp.broadcast_to(jnp.asarray(u_lo, dt_), (K - 1, m)),
+              jnp.broadcast_to(jnp.asarray(u_hi, dt_), (K - 1, m)))
+        zx = jnp.zeros((K - 1, p.Q.shape[-1]), dt_)  # no state bounds
+
+        qp = jax.jit(lambda X, U, xi, lam0, lul, luh, rho: _qp_step(
+            p, X, U, reg, config, bounds=(ub, None),
+            al=(lul, luh, zx, zx, rho), x_init=xi, lam0=lam0))
     defect = jax.jit(lambda X, U: jnp.max(jnp.abs(_defects(p, X, U))))
     return qp, defect
 
@@ -81,37 +99,63 @@ def rti_init(p: TrajOptProblem, x0) -> RTIState:
                     U=jnp.zeros((K - 1, m), dt_),
                     lam=jnp.zeros((K, n), dt_),
                     step=jnp.zeros((), jnp.int32),
-                    total_pcg_iters=jnp.zeros((), jnp.int32))
+                    total_pcg_iters=jnp.zeros((), jnp.int32),
+                    lam_u_lo=jnp.zeros((K - 1, m), dt_),
+                    lam_u_hi=jnp.zeros((K - 1, m), dt_))
 
 
-def rti_step(qp, state: RTIState, x_measured, *, alpha: float = 1.0):
+def rti_step(qp, state: RTIState, x_measured, *, alpha: float = 1.0,
+             bounds=None, rho: float = 50.0):
     """One control period: single warm-started QP at the measured state,
-    full (or damped) step, pick ``u_0``, shift the horizon. Returns
+    full (or damped) step, pick ``u_0``, shift the horizon. With
+    ``bounds=(u_lo, u_hi)`` (requires a :func:`rti_setup` built with the
+    same bounds) the QP carries the PHR penalty and the bound multipliers
+    get their AL update from the stepped trajectory — amortizing the AL
+    outer loop across control steps, RTI-style. Returns
     ``(new_state, u_apply, pcg_result)``."""
-    dx, du, res = qp(state.X, state.U, x_measured, state.lam)
+    if bounds is None:
+        dx, du, res = qp(state.X, state.U, x_measured, state.lam)
+    else:
+        dx, du, res = qp(state.X, state.U, x_measured, state.lam,
+                         state.lam_u_lo, state.lam_u_hi,
+                         jnp.asarray(rho, state.U.dtype))
     X = state.X + alpha * dx
     U = state.U + alpha * du
     u0 = U[0]
+    lul, luh = state.lam_u_lo, state.lam_u_hi
+    if bounds is not None:
+        u_lo = jnp.broadcast_to(jnp.asarray(bounds[0], U.dtype), U.shape)
+        u_hi = jnp.broadcast_to(jnp.asarray(bounds[1], U.dtype), U.shape)
+        luh = _shift_rows(jnp.maximum(0.0, luh + rho * (U - u_hi)))
+        lul = _shift_rows(jnp.maximum(0.0, lul + rho * (u_lo - U)))
+        u0 = jnp.clip(u0, u_lo[0], u_hi[0])  # actuator saturation is real
     new = RTIState(X=_shift_rows(X), U=_shift_rows(U),
                    lam=_shift_rows(res.lam),
                    step=state.step + 1,
-                   total_pcg_iters=state.total_pcg_iters + res.iters)
+                   total_pcg_iters=state.total_pcg_iters + res.iters,
+                   lam_u_lo=lul, lam_u_hi=luh)
     return new, u0, res
 
 
 def simulate(p: TrajOptProblem, x0, n_steps: int, *,
              plant: Optional[Callable] = None,
              config: Optional[PCGConfig] = None, reg: float = 1e-6,
-             alpha: float = 1.0, warm_start_lam: bool = True) -> RTIResult:
+             alpha: float = 1.0, warm_start_lam: bool = True,
+             u_lo=None, u_hi=None, rho: float = 50.0) -> RTIResult:
     """Closed-loop RTI-MPC rollout: ``n_steps`` control periods of one QP
     each, applied to ``plant`` (default: the problem's own dynamics).
+
+    ``u_lo``/``u_hi`` add actuator bounds: the per-step QP carries the PHR
+    penalty with bound multipliers updated across control steps (the AL
+    outer loop amortized RTI-style) and the applied control is clipped.
 
     ``warm_start_lam=False`` zeroes the carried multipliers each step —
     the ablation knob for measuring what the reference's h_lambda
     warm-start pattern is worth in inner iterations."""
     plant = plant or p.dynamics
     plant_j = jax.jit(plant)
-    qp, defect = rti_setup(p, config=config, reg=reg)
+    qp, defect = rti_setup(p, config=config, reg=reg, u_lo=u_lo, u_hi=u_hi)
+    bounds = None if u_lo is None else (u_lo, u_hi)
     state = rti_init(p, x0)
     x = jnp.asarray(x0, p.Q.dtype)
     xs, us, iters, defs = [], [], [], []
@@ -122,7 +166,8 @@ def simulate(p: TrajOptProblem, x0, n_steps: int, *,
         # guess's X[0] is last step's x_1 prediction; under model mismatch
         # they differ)
         state = state._replace(X=state.X.at[0].set(x))
-        state, u0, res = rti_step(qp, state, x, alpha=alpha)
+        state, u0, res = rti_step(qp, state, x, alpha=alpha,
+                                  bounds=bounds, rho=rho)
         x = plant_j(x, u0)
         xs.append(x)
         us.append(u0)

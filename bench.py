@@ -75,7 +75,13 @@ def main():
 
     rows = []
 
-    def run_config(name, S, gamma, pre, tol=1e-6, mi=100, repeats=256):
+    def run_config(name, S, gamma, pre, tol=1e-6, mi=100, repeats=2048):
+        # repeats sizes the chained-solve executable: short chains (256 was
+        # used here once) put only ~1-5 ms of device work between the
+        # two-point samples, which the relay's multi-minute ~30 ms
+        # dispatch phases can swamp — observed as a bogus 2.5 us for a
+        # 30-iteration solve that really takes ~19 us. 2048 dependent
+        # solves keep the slope signal well above the phase noise.
         err(f"# running: {name}")
         if pre == "identity":
             # chained timer needs a concrete Pinv operand; identity as cbtd
@@ -199,7 +205,7 @@ def main():
 
         r_b = fused_batch(Sb.blocks, None, gb, l0)
         t_b = device_solve_time(fused_batch, Sb.blocks, Sb.blocks, gb, l0,
-                                repeats=16, lo_repeats=4, reps=8)
+                                repeats=64, lo_repeats=8, reps=8)
 
         Pb_b = precond.build(Sb, "symmetric_stair").blocks
         xla_batch = jax.vmap(lambda s, p, g, l: jnp_backend.pcg_jnp(
@@ -207,7 +213,7 @@ def main():
         xb = xla_batch(Sb.blocks, Pb_b, gb, l0)
         t_xb = device_solve_time(lambda S, P, g, l: xla_batch(S, P, g, l),
                                  Sb.blocks, Pb_b, gb, l0,
-                                 repeats=16, lo_repeats=4, reps=8)
+                                 repeats=64, lo_repeats=8, reps=8)
         rows.append((f"batch B={B} n=14 K={K_b} auto-routed {meth_b} "
                      "(per-system)",
                      t_b * 1e6 / B, int(np.asarray(r_b.iters).max()),

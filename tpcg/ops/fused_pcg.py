@@ -144,6 +144,47 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
 
     vdot = lambda a, b: jnp.sum(a * b)
 
+    if method == "fixed":
+        # Fixed-budget mode: exactly max_iter passes of the classic
+        # recurrence with NO per-iteration convergence test and (1, 1)
+        # vector scalars — the loop body contains not a single
+        # vector->scalar round trip, so the scalar-sync chain that bounds
+        # the adaptive kernels (~0.4-0.6 us/iter) disappears entirely.
+        # Bounded latency is the real-time MPC contract (budget tuned
+        # offline / from the warm-start history); convergence is VERIFIED
+        # (eta against tol) once, after the loop.
+        vdot11 = lambda a, b: jnp.sum(a * b, keepdims=True).reshape(1, 1)
+        r = gamma - mv(lam0)
+        rt = apply_pinv(r)
+        eta0 = vdot11(r, rt)
+
+        tiny = jnp.asarray(1e-30, gamma.dtype)
+
+        def fbody(_, c):
+            # the +tiny denominators keep a fully-converged iterate (r ~ 0
+            # with no exit test to stop the loop) at alpha ~ 0/tiny = 0
+            # instead of 0/0 = NaN; away from convergence they are
+            # invisible at f32 scale
+            lam, r, p, eta = c
+            ups = mv(p)
+            alpha = eta / (vdot11(p, ups) + tiny)
+            lam = lam + alpha * p
+            r = r - alpha * ups
+            rt = apply_pinv(r)
+            eta_new = vdot11(r, rt)
+            beta = eta_new / (eta + tiny)
+            p = rt + beta * p
+            return (lam, r, p, eta_new)
+
+        lam, r, p, eta_v = jax.lax.fori_loop(
+            0, max_iter, fbody, (lam0, r, rt, eta0))
+        eta = eta_v[0, 0]
+        lam_ref[:, :] = lam
+        iters_ref[out_idx] = jnp.int32(max_iter)
+        conv_ref[out_idx] = (jnp.abs(eta) < tol).astype(jnp.int32)
+        eta_ref[out_idx] = eta
+        return
+
     if method == "pipelined":
         from tpcg.solver.pipelined import pipelined_pcg_body
         # (1,1)-shaped dots: alpha/beta stay vector values, skipping the

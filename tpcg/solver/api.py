@@ -53,6 +53,8 @@ def _jnp_solver(method: str):
     if method == "pipelined":
         from tpcg.solver.pipelined import pcg_pipelined_jnp
         return pcg_pipelined_jnp
+    if method == "fixed":
+        return jnp_backend.pcg_fixed_jnp
     return jnp_backend.pcg_jnp
 
 
@@ -227,6 +229,10 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
     if lam0.shape != gamma.shape:
         raise ValueError(f"lam0 shape {lam0.shape} != gamma {gamma.shape}")
 
+    if config.method == "fixed":
+        raise ValueError("pcg_solve_multirhs supports classic/pipelined/"
+                         "block; the fixed-budget mode is single-system "
+                         "(pcg_solve) only for now")
     if config.method == "block":
         if config.stop_on_nonfinite:
             raise ValueError("method='block' has no stop_on_nonfinite "

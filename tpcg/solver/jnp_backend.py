@@ -129,3 +129,52 @@ def pcg_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     out = jax.lax.while_loop(cond, body, init)
     return PCGResult(lam=out.lam, iters=out.iters, converged=out.converged,
                      eta=out.eta)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
+                                             "stop_on_nonfinite",
+                                             "precond_refine"))
+def pcg_fixed_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
+                  max_iter: int, identity_pinv: bool = False,
+                  stop_on_nonfinite: bool = False,
+                  precond_refine: int = 0) -> PCGResult:
+    """Fixed-budget PCG oracle (``PCGConfig.method='fixed'``): exactly
+    ``max_iter`` passes of the classic recurrence with no per-iteration
+    exit test — the jnp mirror of the fused kernel's zero-sync mode.
+    ``iters`` reports the budget; ``converged`` whether the final eta met
+    ``exit_tol``. ``stop_on_nonfinite`` is accepted for signature parity
+    (there is no early exit of any kind in this mode). The +tiny
+    denominators keep an already-converged warm start at alpha ~ 0
+    instead of NaN (the loop cannot stop early)."""
+    del stop_on_nonfinite
+    exit_tol = jnp.asarray(exit_tol, dtype=gamma.dtype)
+    tiny = jnp.asarray(1e-30, gamma.dtype)
+
+    def apply_pinv(v):
+        if identity_pinv:
+            return v
+        z = bdmv(Pinv_blocks, v)
+        for _ in range(precond_refine):
+            z = z + bdmv(Pinv_blocks, v - bdmv(S_blocks, z))
+        return z
+
+    r = gamma - bdmv(S_blocks, lam0)
+    rt = apply_pinv(r)
+    eta0 = _vdot(r, rt)
+
+    def body(_, c):
+        lam, r, p, eta = c
+        ups = bdmv(S_blocks, p)
+        alpha = eta / (_vdot(p, ups) + tiny)
+        lam = lam + alpha * p
+        r = r - alpha * ups
+        rt = apply_pinv(r)
+        eta_new = _vdot(r, rt)
+        beta = eta_new / (eta + tiny)
+        p = rt + beta * p
+        return (lam, r, p, eta_new)
+
+    lam, r, p, eta = jax.lax.fori_loop(0, max_iter, body,
+                                       (lam0, r, rt, eta0))
+    return PCGResult(lam=lam, iters=jnp.asarray(max_iter, jnp.int32),
+                     converged=jnp.abs(eta) < exit_tol, eta=eta)

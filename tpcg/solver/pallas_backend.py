@@ -75,7 +75,9 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     B, K = gamma.shape[0], gamma.shape[1]
     n = gamma.shape[2]
     plan = None
-    if not stop_on_nonfinite:
+    # the packed loops have no stop_on_nonfinite or fixed-budget form;
+    # those route through the grid-batched kernel (K % 128 == 0)
+    if not stop_on_nonfinite and method != "fixed":
         plan = plan_pack(B, K, n, S_blocks.dtype,
                          precond=precond,
                          identity_pinv=Pinv_blocks is None and

@@ -69,6 +69,9 @@ class PCGConfig:
     #: "pipelined" = Ghysels-Vanroose pipelined PCG — one scalar sync point
     #: per iteration instead of two (tpcg/solver/pipelined.py); a different
     #: method with its own iteration counts, offered for latency.
+    #: "fixed" = exactly max_iter passes with NO per-iteration exit test
+    #: (zero scalar sync points in the loop — the bounded-latency real-time
+    #: MPC mode; ``converged`` reports whether the final eta met exit_tol).
     #: "block" = block-PCG sharing one Krylov space across right-hand sides
     #: (tpcg/solver/blockcg.py) — multi-RHS entry point only.
     method: str = dataclasses.field(default="classic",
@@ -90,9 +93,9 @@ class PCGConfig:
                 f"got {self.preconditioner!r}")
         if int(self.max_iter) < 1:
             raise ValueError(f"max_iter must be >= 1, got {self.max_iter}")
-        if self.method not in ("classic", "pipelined", "block"):
-            raise ValueError(f"method must be 'classic', 'pipelined' or "
-                             f"'block', got {self.method!r}")
+        if self.method not in ("classic", "pipelined", "fixed", "block"):
+            raise ValueError(f"method must be 'classic', 'pipelined', "
+                             f"'fixed' or 'block', got {self.method!r}")
         if int(self.precond_refine) < 0:
             raise ValueError(f"precond_refine must be >= 0, "
                              f"got {self.precond_refine}")

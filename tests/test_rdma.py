@@ -1,0 +1,97 @@
+"""Persistent RDMA multi-chip PCG kernel (tpcg/parallel/rdma_knot.py)
+under the distributed TPU interpreter: oracle parity on 2/4/8 virtual
+devices, iteration-count parity, warm starts, and a happens-before race
+detection pass over a full solve (the in-kernel semaphore schedule is the
+correctness surface here — SURVEY.md §5.2's sanitizer story with teeth)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh
+
+from tpcg import layout, precond
+from tpcg.parallel.rdma_knot import pcg_rdma_sharded
+from tpcg.solver import jnp_backend
+
+INTERP = pltpu.InterpretParams()
+
+
+def _mesh(d):
+    devs = jax.devices()
+    if len(devs) < d:
+        pytest.skip(f"needs {d} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:d]), ("knot",))
+
+
+def _system(n, K, seed=0):
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(seed), n, K,
+                               dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(seed + 1), (K, n), jnp.float32)
+    return S, g
+
+
+@pytest.mark.parametrize("d", [2, 4, 8])
+def test_rdma_matches_oracle(d):
+    n, K = 5, 32
+    S, g = _system(n, K, seed=d)
+    Pb = precond.build(S, "symmetric_stair").blocks
+    lam0 = jnp.zeros_like(g)
+    res = pcg_rdma_sharded(S.blocks, Pb, g, lam0, mesh=_mesh(d),
+                           exit_tol=1e-8, max_iter=200,
+                           interpret_params=INTERP)
+    ref = jnp_backend.pcg_jnp(S.blocks, Pb, g, lam0, exit_tol=1e-8,
+                              max_iter=200)
+    assert bool(res.converged) and bool(ref.converged)
+    # fixed-order mailbox reduce vs jnp.sum: fp32 association differs ->
+    # the usual +-1-pass slack (SURVEY.md §7 hard parts)
+    assert abs(int(res.iters) - int(ref.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(res.lam), np.asarray(ref.lam),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_rdma_warm_start_and_zero_iters():
+    n, K, d = 4, 16, 4
+    S, g = _system(n, K, seed=11)
+    Pb = precond.build(S, "block_jacobi").blocks
+    res = pcg_rdma_sharded(S.blocks, Pb, g, jnp.zeros_like(g),
+                           mesh=_mesh(d), exit_tol=1e-8, max_iter=200,
+                           interpret_params=INTERP)
+    assert bool(res.converged)
+    # resolving from the solution: 0 iterations (the quirk-policy fast path)
+    res2 = pcg_rdma_sharded(S.blocks, Pb, g, res.lam, mesh=_mesh(d),
+                            exit_tol=1e-6, max_iter=200,
+                            interpret_params=INTERP)
+    assert int(res2.iters) == 0
+    assert bool(res2.converged)
+
+
+def test_rdma_race_detector_clean():
+    """Run the happens-before race detector over a full multi-device
+    solve: the A/B alternating halo buffers and mailboxes plus the
+    start/teardown barriers must leave ZERO races."""
+    from jax._src.pallas.mosaic.interpret import interpret_pallas_call as ipc
+
+    n, K, d = 4, 16, 4
+    S, g = _system(n, K, seed=21)
+    Pb = precond.build(S, "symmetric_stair").blocks
+    params = pltpu.InterpretParams(detect_races=True)
+    res = pcg_rdma_sharded(S.blocks, Pb, g, jnp.zeros_like(g),
+                           mesh=_mesh(d), exit_tol=1e-7, max_iter=100,
+                           interpret_params=params)
+    jax.block_until_ready(res.lam)
+    assert bool(res.converged)
+    # the interpreter's module-global happens-before state for this run
+    assert ipc.races is not None and not ipc.races.races_found
+
+
+def test_rdma_rejects_undividable_k():
+    n, K = 4, 18
+    S, g = _system(n, K)
+    Pb = precond.build(S, "block_jacobi").blocks
+    with pytest.raises(ValueError, match="divide"):
+        pcg_rdma_sharded(S.blocks, Pb, g, jnp.zeros_like(g),
+                         mesh=_mesh(4), exit_tol=1e-6, max_iter=10,
+                         interpret_params=INTERP)

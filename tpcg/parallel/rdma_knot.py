@@ -1,0 +1,271 @@
+"""Persistent multi-chip PCG: ONE Pallas kernel per device for the WHOLE
+solve, with in-kernel RDMA halo exchange and mailbox all-reduces — the
+faithful multi-chip transplant of the reference's cooperative single-GPU
+kernel (/root/reference/include/pcg.cuh:54-218).
+
+The reference's communication substrate is "global memory as mailbox +
+grid.sync() as barrier" (SURVEY.md §5.8): thread-blocks spill vector edge
+segments and per-block dot partials to HBM, barrier, and re-read. Across
+TPU chips the same architecture becomes:
+
+* halo exchange = ``pltpu.make_async_remote_copy`` of the shard's edge
+  column to each neighbor's VMEM halo buffer (the loadbdVec analog,
+  utils.cuh:9-40, over ICI instead of HBM);
+* scalar all-reduce = every device remote-writes its (1, lanes) dot
+  partial into a slot of every other device's mailbox buffer, waits for
+  all arrivals, and reduces locally IN A FIXED ORDER — exactly the
+  d_v_temp/d_eta_new_temp + glass::reduce pattern (pcg.cuh:144-149),
+  device-for-thread-block. The fixed order makes every device compute
+  bit-identical eta, so the shared while predicate cannot diverge (the
+  collective-deadlock invariant of tpcg/parallel/knot_sharded.py, held
+  here by construction);
+* grid.sync() = the semaphore discipline itself. Two mailbox rounds per
+  iteration separate same-buffer halo reuses (alternating A/B halo
+  buffers), mirroring the reference's 4 in-loop barriers; explicit
+  barrier-semaphore rounds guard kernel start/teardown (a device must
+  not free buffers while a neighbor's in-flight DMA still reads them).
+
+Where tpcg/parallel/knot_sharded.py lets XLA insert ppermute/psum
+collectives BETWEEN compiled steps, this kernel owns the communication
+schedule end to end — no per-iteration XLA collective launches, one
+persistent kernel per chip for the entire solve.
+
+Verification story (this environment has ONE physical chip): the kernel
+runs under Pallas TPU *distributed interpret mode* (JAX's multi-device
+shared-memory simulator: real semaphore semantics, real remote-DMA
+routing, optional happens-before race detection) on the 8-virtual-device
+CPU mesh — tests assert parity against the jnp oracle and run the race
+detector over a full solve. On real multi-chip hardware the same code
+lowers to ICI RDMA; that path is compile-checked only when such hardware
+exists (docs/ROADMAP.md item 3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from tpcg.types import PCGResult
+
+_LOGICAL = pltpu.DeviceIdType.LOGICAL
+
+
+def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
+            lam_ref, iters_ref, conv_ref, eta_ref,
+            send_l, send_r, recvA_l, recvA_r, recvB_l, recvB_r,
+            mbA, mbB, part_buf,
+            hsend_l, hsend_r, hrecvA_l, hrecvA_r, hrecvB_l, hrecvB_r,
+            mb_send, mbA_recv, mbB_recv,
+            *, n, Kd, D, max_iter, axis_name):
+    my = jax.lax.axis_index(axis_name)
+    left = jax.lax.rem(my - 1 + D, jnp.int32(D))
+    right = jax.lax.rem(my + 1, jnp.int32(D))
+    first = my == 0
+    last = my == D - 1
+
+    def barrier():
+        sem = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(sem, device_id=left, device_id_type=_LOGICAL)
+        pltpu.semaphore_signal(sem, device_id=right,
+                               device_id_type=_LOGICAL)
+        pltpu.semaphore_wait(sem, 2)
+
+    def halo_exchange(v, recv_l, recv_r, hrecv_l, hrecv_r):
+        """Ring-send edge columns; returns (halo_left, halo_right) as
+        (n, 1) values with the global chain ends masked to zero. Symmetric
+        on every device, so the single-descriptor wait() pattern (send
+        drained + own incoming arrived) balances."""
+        send_r[...] = v[:, Kd - 1:Kd]   # my last column -> right nbr's left
+        send_l[...] = v[:, 0:1]         # my first column -> left nbr's right
+        cr = pltpu.make_async_remote_copy(
+            src_ref=send_r, dst_ref=recv_l, send_sem=hsend_r,
+            recv_sem=hrecv_l, device_id=right, device_id_type=_LOGICAL)
+        cl = pltpu.make_async_remote_copy(
+            src_ref=send_l, dst_ref=recv_r, send_sem=hsend_l,
+            recv_sem=hrecv_r, device_id=left, device_id_type=_LOGICAL)
+        cr.start()
+        cl.start()
+        cr.wait()
+        cl.wait()
+        halo_l = jnp.where(first, jnp.zeros((n, 1), v.dtype), recv_l[...])
+        halo_r = jnp.where(last, jnp.zeros((n, 1), v.dtype), recv_r[...])
+        return halo_l, halo_r
+
+    def bdmv(M, v, halo_l, halo_r):
+        """Local lane-major cbtd SpMV with RDMA halo columns at the shard
+        edges (tpcg/ops/bdmv.py bdmv_lane_major with the chain boundary
+        replaced by the received columns)."""
+        v_dn = jnp.concatenate([halo_l, v[:, :-1]], axis=1)
+        v_up = jnp.concatenate([v[:, 1:], halo_r], axis=1)
+        return (jnp.sum(M[0] * v_dn[:, None, :], axis=0) +
+                jnp.sum(M[1] * v[:, None, :], axis=0) +
+                jnp.sum(M[2] * v_up[:, None, :], axis=0))
+
+    def allreduce(partial, mb, mb_recv):
+        """Mailbox all-reduce of a scalar partial (pcg.cuh:144-149 across
+        chips): broadcast my partial into row `my` of every device's
+        mailbox, wait for all D arrivals, reduce rows in fixed order.
+
+        Callers MUST strictly alternate the two mailboxes (A, B, A, B...):
+        a same-mailbox reuse is then two rounds apart with a full
+        all-device round between, so no device can overwrite a slot
+        another device has not consumed — for ANY D (with consecutive
+        same-buffer rounds, a device two hops away could still be waiting
+        on the previous round when a fast device's next-round write
+        lands)."""
+        part_buf[...] = jnp.full((1, 128), partial, part_buf.dtype)
+        copies = []
+        for k in range(D):  # static unroll; includes the local write
+            c = pltpu.make_async_remote_copy(
+                src_ref=part_buf, dst_ref=mb.at[pl.ds(my, 1), :],
+                send_sem=mb_send, recv_sem=mb_recv,
+                device_id=jnp.int32(k), device_id_type=_LOGICAL)
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
+        # 2D masked reduce (rank-1 vector values SIGABRT Mosaic; col 0
+        # holds the payload, rows >= D are never written)
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                < jnp.int32(D)) & \
+               (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                == jnp.int32(0))
+        return jnp.sum(jnp.where(mask, mb[...], 0.0))
+
+    barrier()  # no remote DMA before every device finished setup
+
+    S = S_ref[...]
+    Pinv = pinv_ref[...]
+    gamma = gamma_ref[...]
+    lam0 = lam0_ref[...]
+    tol = tol_ref[0]
+    vdot = lambda a, b: jnp.sum(a * b)
+
+    # --- init (pcg.cuh:118-149): r, r_tilde, p, eta — halo A for lam0,
+    # halo B for r, eta through mailbox A ---
+    hl, hr = halo_exchange(lam0, recvA_l, recvA_r, hrecvA_l, hrecvA_r)
+    r = gamma - bdmv(S, lam0, hl, hr)
+    hl, hr = halo_exchange(r, recvB_l, recvB_r, hrecvB_l, hrecvB_r)
+    rt = bdmv(Pinv, r, hl, hr)
+    p = rt
+    eta = allreduce(vdot(r, rt), mbA, mbA_recv)
+
+    def cond(c):
+        _lam, _r, _p, eta, iters, converged = c
+        return jnp.logical_and(iters < max_iter,
+                               jnp.logical_not(converged))
+
+    def body(c):
+        lam, r, p, eta, iters, _ = c
+        # halo A: p (reusable — every device passed the previous
+        # iteration's mailbox rounds, so its prior content is consumed)
+        hl, hr = halo_exchange(p, recvA_l, recvA_r, hrecvA_l, hrecvA_r)
+        ups = bdmv(S, p, hl, hr)
+        # mailbox rounds alternate A (init eta), B, A, B... — see
+        # allreduce's reuse-safety note
+        denom = allreduce(vdot(p, ups), mbB, mbB_recv)   # pcg.cuh:163-169
+        alpha = eta / denom
+        lam = lam + alpha * p                            # pcg.cuh:172-176
+        r = r - alpha * ups
+        hl, hr = halo_exchange(r, recvB_l, recvB_r, hrecvB_l, hrecvB_r)
+        rt = bdmv(Pinv, r, hl, hr)                       # pcg.cuh:181-184
+        eta_new = allreduce(vdot(r, rt), mbA, mbA_recv)  # pcg.cuh:187-193
+        converged = jnp.abs(eta_new) < tol               # pcg.cuh:195
+        beta = eta_new / eta
+        p = rt + beta * p
+        return (lam, r, p, eta_new, iters + 1, converged)
+
+    init = (lam0, r, p, eta, jnp.zeros((), jnp.int32), jnp.abs(eta) < tol)
+    lam, r, p, eta, iters, converged = jax.lax.while_loop(cond, body, init)
+
+    lam_ref[...] = lam
+    iters_ref[0] = iters
+    conv_ref[0] = converged.astype(jnp.int32)
+    eta_ref[0] = eta
+
+    barrier()  # no teardown while a neighbor's DMA may still read my bufs
+
+
+def pcg_rdma_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
+                     axis_name: str = "knot", exit_tol, max_iter: int,
+                     interpret_params=None) -> PCGResult:
+    """Knot-sharded PCG solve through the persistent RDMA kernel.
+
+    Canonical layouts in: ``S_blocks``/``Pinv_blocks`` ``(K, 3, n, n)``,
+    vectors ``(K, n)``; ``K`` must divide evenly over the mesh axis.
+    ``interpret_params``: a ``pltpu.InterpretParams`` to run under the
+    distributed TPU interpreter (required on CPU meshes; pass
+    ``detect_races=True`` to run the happens-before race detector over
+    the solve). Returns a replicated-scalars ``PCGResult``.
+    """
+    from tpcg.ops.bdmv import to_lane_major
+
+    K, _, n, _ = S_blocks.shape
+    D = int(np.prod([mesh.shape[a] for a in (axis_name,)]))
+    if K % D != 0:
+        raise ValueError(f"knot_points={K} must divide over the "
+                         f"{D}-device '{axis_name}' mesh axis")
+    if D > 8:
+        raise ValueError("the (8, 128) mailbox supports up to 8 devices; "
+                         "widen it for larger meshes")
+    Kd = K // D
+    dtype = S_blocks.dtype
+    tol = jnp.asarray([exit_tol], dtype)
+
+    kern = functools.partial(_kernel, n=n, Kd=Kd, D=D, max_iter=max_iter,
+                             axis_name=axis_name)
+
+    def per_device(S_sh, P_sh, g_sh, l_sh):
+        S_lm = to_lane_major(S_sh)          # (3, n, n, Kd)
+        P_lm = to_lane_major(P_sh)
+        g_lm = jnp.swapaxes(g_sh, -1, -2)   # (n, Kd)
+        l_lm = jnp.swapaxes(l_sh, -1, -2)
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        col = pltpu.VMEM((n, 1), dtype)
+        lam_lm, iters, conv, eta = pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((n, Kd), dtype),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+                jax.ShapeDtypeStruct((1,), dtype),
+            ),
+            in_specs=[smem, vmem, vmem, vmem, vmem],
+            out_specs=(vmem, smem, smem, smem),
+            scratch_shapes=[
+                col, col,                      # send_l, send_r
+                col, col, col, col,            # recvA/B halo buffers
+                pltpu.VMEM((8, 128), dtype),   # mailbox A
+                pltpu.VMEM((8, 128), dtype),   # mailbox B
+                pltpu.VMEM((1, 128), dtype),   # partial broadcast buffer
+                pltpu.SemaphoreType.DMA,       # hsend_l
+                pltpu.SemaphoreType.DMA,       # hsend_r
+                pltpu.SemaphoreType.DMA,       # hrecvA_l
+                pltpu.SemaphoreType.DMA,       # hrecvA_r
+                pltpu.SemaphoreType.DMA,       # hrecvB_l
+                pltpu.SemaphoreType.DMA,       # hrecvB_r
+                pltpu.SemaphoreType.DMA,       # mb_send
+                pltpu.SemaphoreType.DMA,       # mbA_recv
+                pltpu.SemaphoreType.DMA,       # mbB_recv
+            ],
+            compiler_params=pltpu.CompilerParams(collective_id=0),
+            interpret=(interpret_params if interpret_params is not None
+                       else False),
+        )(tol, S_lm, P_lm, g_lm, l_lm)
+        return jnp.swapaxes(lam_lm, -1, -2), iters, conv, eta
+
+    shard = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(), P(), P()),
+        check_vma=False)
+    lam, iters, conv, eta = shard(S_blocks, Pinv_blocks, gamma, lam0)
+    return PCGResult(lam=lam, iters=iters[0], converged=conv[0] != 0,
+                     eta=eta[0])

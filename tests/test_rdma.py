@@ -87,6 +87,48 @@ def test_rdma_race_detector_clean():
     assert ipc.races is not None and not ipc.races.races_found
 
 
+@pytest.mark.parametrize("d", [2, 4])
+def test_rdma_pipelined_matches_oracle(d):
+    """Pipelined method (one combined mailbox round per iteration) vs the
+    pipelined jnp oracle — its own iteration semantics, so parity is
+    against pcg_pipelined_jnp, not the classic loop."""
+    from tpcg.solver.pipelined import pcg_pipelined_jnp
+
+    n, K = 5, 32
+    S, g = _system(n, K, seed=30 + d)
+    Pb = precond.build(S, "symmetric_stair").blocks
+    lam0 = jnp.zeros_like(g)
+    res = pcg_rdma_sharded(S.blocks, Pb, g, lam0, mesh=_mesh(d),
+                           exit_tol=1e-8, max_iter=200,
+                           method="pipelined", interpret_params=INTERP)
+    ref = pcg_pipelined_jnp(S.blocks, Pb, g, lam0, exit_tol=1e-8,
+                            max_iter=200)
+    assert bool(res.converged) and bool(ref.converged)
+    assert abs(int(res.iters) - int(ref.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(res.lam), np.asarray(ref.lam),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_rdma_pipelined_race_detector_clean():
+    """The pipelined schedule (parity-alternating mailboxes, conditional
+    replacement communication) must also pass the happens-before race
+    detector — including a run long enough to fire a residual
+    replacement."""
+    from jax._src.pallas.mosaic.interpret import interpret_pallas_call as ipc
+
+    n, K, d = 4, 16, 4
+    S, g = _system(n, K, seed=41)
+    Pb = precond.build(S, "block_jacobi").blocks  # weaker -> more iters
+    params = pltpu.InterpretParams(detect_races=True)
+    res = pcg_rdma_sharded(S.blocks, Pb, g, jnp.zeros_like(g),
+                           mesh=_mesh(d), exit_tol=1e-9, max_iter=100,
+                           method="pipelined", interpret_params=params)
+    jax.block_until_ready(res.lam)
+    assert bool(res.converged)
+    assert int(res.iters) > 16  # at least one replacement fired
+    assert ipc.races is not None and not ipc.races.races_found
+
+
 def test_rdma_rejects_undividable_k():
     n, K = 4, 18
     S, g = _system(n, K)

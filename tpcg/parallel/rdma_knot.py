@@ -62,7 +62,7 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
             mbA, mbB, part_buf,
             hsend_l, hsend_r, hrecvA_l, hrecvA_r, hrecvB_l, hrecvB_r,
             mb_send, mbA_recv, mbB_recv,
-            *, n, Kd, D, max_iter, axis_name):
+            *, n, Kd, D, max_iter, axis_name, method="classic"):
     my = jax.lax.axis_index(axis_name)
     left = jax.lax.rem(my - 1 + D, jnp.int32(D))
     right = jax.lax.rem(my + 1, jnp.int32(D))
@@ -138,6 +138,29 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                 == jnp.int32(0))
         return jnp.sum(jnp.where(mask, mb[...], 0.0))
 
+    def allreduce2(pa, pb, mb, mb_recv):
+        """Combined all-reduce of TWO scalar partials in one mailbox round
+        (payload lanes 0 and 1) — the pipelined method's single sync point
+        per iteration. Same alternation contract as :func:`allreduce`."""
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        part_buf[...] = jnp.where(lane == 0, pa,
+                                  jnp.where(lane == 1, pb, 0.0))
+        copies = []
+        for k in range(D):
+            c = pltpu.make_async_remote_copy(
+                src_ref=part_buf, dst_ref=mb.at[pl.ds(my, 1), :],
+                send_sem=mb_send, recv_sem=mb_recv,
+                device_id=jnp.int32(k), device_id_type=_LOGICAL)
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
+        rowmask = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                   < jnp.int32(D))
+        sums = jnp.sum(jnp.where(rowmask, mb[...], 0.0), axis=0,
+                       keepdims=True)                       # (1, 128)
+        return sums[0, 0], sums[0, 1]
+
     barrier()  # no remote DMA before every device finished setup
 
     S = S_ref[...]
@@ -146,6 +169,105 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
     lam0 = lam0_ref[...]
     tol = tol_ref[0]
     vdot = lambda a, b: jnp.sum(a * b)
+
+    ex_A = lambda v: halo_exchange(v, recvA_l, recvA_r, hrecvA_l, hrecvA_r)
+    ex_B = lambda v: halo_exchange(v, recvB_l, recvB_r, hrecvB_l, hrecvB_r)
+
+    if method == "pipelined":
+        # Ghysels-Vanroose recurrences (tpcg/solver/pipelined.py): both
+        # dots at ONE mailbox round per iteration — over ICI, the sync
+        # round is the expensive part, so this is where pipelining pays
+        # most (the knot_sharded module's own argument, realized with
+        # in-kernel RDMA). Halo order: init lam0[A], r[B], u[A]; per
+        # iteration w[B], m[A]; replacement x[B], r[A], u[B], p[A], s[B],
+        # q[A] — every same-buffer reuse has the consuming compute and a
+        # gating round between (see allreduce's note).
+        hl, hr = ex_A(lam0)
+        r = gamma - bdmv(S, lam0, hl, hr)
+        hl, hr = ex_B(r)
+        u = bdmv(Pinv, r, hl, hr)
+        hl, hr = ex_A(u)
+        w = bdmv(S, u, hl, hr)
+        eta0, _ = allreduce2(vdot(r, u), jnp.zeros((), gamma.dtype),
+                             mbA, mbA_recv)
+        zeros = jnp.zeros_like(r)
+
+        def pcond(c):
+            return jnp.logical_and(c[10] < max_iter,
+                                   jnp.logical_not(c[11]))
+
+        def pbody(c):
+            (x, r, u, w, z, q, s, p, eta_prev, alpha_prev, iters,
+             _conv) = c
+            ep = vdot(r, u)
+            dp = vdot(w, u)
+            # mailbox rounds alternate A (init), B, A, B ... — derived
+            # from the iteration counter, identical on every device
+            use_B = jax.lax.rem(iters, jnp.int32(2)) == 0
+            eta, delta = jax.lax.cond(
+                use_B,
+                lambda _: allreduce2(ep, dp, mbB, mbB_recv),
+                lambda _: allreduce2(ep, dp, mbA, mbA_recv),
+                None)
+            hl, hr = ex_B(w)
+            m = bdmv(Pinv, w, hl, hr)
+            hl, hr = ex_A(m)
+            nn = bdmv(S, m, hl, hr)
+            frst = iters == 0
+            beta = jnp.where(frst, jnp.zeros_like(eta), eta / eta_prev)
+            alpha = jnp.where(frst, eta / delta,
+                              eta / (delta - beta * eta / alpha_prev))
+            z = nn + beta * z
+            q = m + beta * q
+            s = w + beta * s
+            p = u + beta * p
+            x = x + alpha * p
+            r = r - alpha * s
+            u = u - alpha * q
+            w = w - alpha * z
+
+            def replace(args):
+                x, p, r, u, w, s, q, z = args
+                hl, hr = ex_B(x)
+                r = gamma - bdmv(S, x, hl, hr)
+                hl, hr = ex_A(r)
+                u = bdmv(Pinv, r, hl, hr)
+                hl, hr = ex_B(u)
+                w = bdmv(S, u, hl, hr)
+                hl, hr = ex_A(p)
+                s = bdmv(S, p, hl, hr)
+                hl, hr = ex_B(s)
+                q = bdmv(Pinv, s, hl, hr)
+                hl, hr = ex_A(q)
+                z = bdmv(S, q, hl, hr)
+                return (x, p, r, u, w, s, q, z)
+
+            # eta-guarded residual replacement (tpcg/solver/pipelined.py);
+            # the decision derives from replicated eta/iters, so every
+            # device takes the same branch — conditional communication
+            # stays collective-safe
+            re32 = jnp.int32(16)
+            do_replace = jnp.logical_and(
+                jax.lax.rem(iters, re32) == re32 - 1, iters > 0)
+            do_replace = jnp.logical_and(
+                do_replace, jnp.abs(eta) > 1000.0 * tol)
+            x, p, r, u, w, s, q, z = jax.lax.cond(
+                do_replace, replace, lambda a: a,
+                (x, p, r, u, w, s, q, z))
+            converged = jnp.abs(eta) < tol
+            return (x, r, u, w, z, q, s, p, eta, alpha, iters + 1,
+                    converged)
+
+        init = (lam0, r, u, w, zeros, zeros, zeros, zeros, eta0,
+                jnp.ones((), gamma.dtype), jnp.zeros((), jnp.int32),
+                jnp.abs(eta0) < tol)
+        out = jax.lax.while_loop(pcond, pbody, init)
+        lam_ref[...] = out[0]
+        iters_ref[0] = out[10]
+        conv_ref[0] = out[11].astype(jnp.int32)
+        eta_ref[0] = out[8]
+        barrier()
+        return
 
     # --- init (pcg.cuh:118-149): r, r_tilde, p, eta — halo A for lam0,
     # halo B for r, eta through mailbox A ---
@@ -194,6 +316,7 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
 
 def pcg_rdma_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
                      axis_name: str = "knot", exit_tol, max_iter: int,
+                     method: str = "classic",
                      interpret_params=None) -> PCGResult:
     """Knot-sharded PCG solve through the persistent RDMA kernel.
 
@@ -214,12 +337,15 @@ def pcg_rdma_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
     if D > 8:
         raise ValueError("the (8, 128) mailbox supports up to 8 devices; "
                          "widen it for larger meshes")
+    if method not in ("classic", "pipelined"):
+        raise ValueError(f"method must be 'classic' or 'pipelined', got "
+                         f"{method!r}")
     Kd = K // D
     dtype = S_blocks.dtype
     tol = jnp.asarray([exit_tol], dtype)
 
     kern = functools.partial(_kernel, n=n, Kd=Kd, D=D, max_iter=max_iter,
-                             axis_name=axis_name)
+                             axis_name=axis_name, method=method)
 
     def per_device(S_sh, P_sh, g_sh, l_sh):
         S_lm = to_lane_major(S_sh)          # (3, n, n, Kd)

@@ -137,3 +137,21 @@ def test_rdma_rejects_undividable_k():
         pcg_rdma_sharded(S.blocks, Pb, g, jnp.zeros_like(g),
                          mesh=_mesh(4), exit_tol=1e-6, max_iter=10,
                          interpret_params=INTERP)
+
+
+def test_rdma_single_device_degenerate():
+    """D=1: the ring collapses to self-sends and both chain-end masks fire
+    — the kernel must still reproduce the oracle (the degenerate base case
+    of the induction the A/B schedule's safety argument rests on)."""
+    n, K = 4, 8
+    S, g = _system(n, K, seed=51)
+    Pb = precond.build(S, "symmetric_stair").blocks
+    res = pcg_rdma_sharded(S.blocks, Pb, g, jnp.zeros_like(g),
+                           mesh=_mesh(1), exit_tol=1e-8, max_iter=200,
+                           interpret_params=INTERP)
+    ref = jnp_backend.pcg_jnp(S.blocks, Pb, g, jnp.zeros_like(g),
+                              exit_tol=1e-8, max_iter=200)
+    assert bool(res.converged)
+    assert abs(int(res.iters) - int(ref.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(res.lam), np.asarray(ref.lam),
+                               rtol=2e-4, atol=2e-5)

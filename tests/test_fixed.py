@@ -84,3 +84,38 @@ def test_fixed_rejected_where_unsupported():
     cfg = PCGConfig(max_iter=10, method="fixed")
     with pytest.raises(ValueError, match="single-system"):
         tpcg.pcg_solve_multirhs(S, jnp.stack([g, g]), config=cfg)
+
+
+def test_fixed_batched_routes():
+    """Batched fixed-budget solves: the vmapped jnp route and the
+    grid-batched kernel route (the packed loops have no fixed form — the
+    router must skip them) both match per-system fixed solves."""
+    import tpcg
+    from tpcg.solver import pallas_backend
+
+    B, n, K = 2, 4, 128  # K % 128 == 0: the grid kernel's requirement
+    keys = jax.random.split(jax.random.PRNGKey(13), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K).blocks
+                        for k in keys])
+    gamma = jax.random.normal(jax.random.PRNGKey(14), (B, K, n),
+                              jnp.float32)
+    lam0 = jnp.zeros_like(gamma)
+    cfg = PCGConfig(exit_tol=1e-6, max_iter=40,
+                    preconditioner="block_jacobi", method="fixed")
+    r_jnp = tpcg.pcg_solve_batched(blocks, gamma, config=cfg,
+                                   backend="jnp")
+    r_pal = pallas_backend.pcg_pallas_batched(
+        blocks, None, gamma, lam0, exit_tol=1e-6, max_iter=40,
+        precond="block_jacobi", method="fixed", interpret=True)
+    for b in range(B):
+        pb = precond.build(BlockTridiag(blocks[b]), "block_jacobi").blocks
+        ref = jnp_backend.pcg_fixed_jnp(blocks[b], pb, gamma[b], lam0[b],
+                                        exit_tol=1e-6, max_iter=40)
+        assert int(r_jnp.iters[b]) == 40 and int(r_pal.iters[b]) == 40
+        assert bool(r_jnp.converged[b]) == bool(ref.converged)
+        np.testing.assert_allclose(np.asarray(r_jnp.lam[b]),
+                                   np.asarray(ref.lam), rtol=2e-4,
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(r_pal.lam[b]),
+                                   np.asarray(ref.lam), rtol=2e-4,
+                                   atol=2e-5)

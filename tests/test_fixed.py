@@ -87,9 +87,9 @@ def test_fixed_rejected_where_unsupported():
 
 
 def test_fixed_batched_routes():
-    """Batched fixed-budget solves: the vmapped jnp route and the
-    grid-batched kernel route (the packed loops have no fixed form — the
-    router must skip them) both match per-system fixed solves."""
+    """Batched fixed-budget solves: the vmapped jnp route and the Pallas
+    route (lane-packed since round 3) both match per-system fixed
+    solves."""
     import tpcg
     from tpcg.solver import pallas_backend
 

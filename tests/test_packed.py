@@ -213,3 +213,96 @@ def test_k_padding_preserves_iterates_exactly():
         np.testing.assert_array_equal(np.asarray(rp.lam[K:]), 0.0)
         np.testing.assert_allclose(np.asarray(rp.lam[:K]),
                                    np.asarray(r.lam), rtol=2e-4, atol=2e-5)
+
+
+def test_packed_guard_freezes_poisoned_system():
+    """One singular system in the pack (S=0: alpha = eta/0 on the first
+    pass): with stop_on_nonfinite the poisoned system freezes early with
+    converged=False while its packmates converge normally — per-system
+    semantics of the single-system loop-predicate guard."""
+    P, K, n = 2, 32, 4  # K=32: the config the grid kernel CANNOT serve
+    blocks, gamma = _batch(P, n, K, seed=21)
+    blocks = blocks.at[0].set(0.0)
+    lam0 = jnp.zeros_like(gamma)
+    res = pcg_pallas_packed(blocks, None, gamma, lam0, exit_tol=1e-7,
+                            max_iter=200, precond="identity", P=P,
+                            stop_on_nonfinite=True, interpret=True)
+    assert not bool(res.converged[0])
+    assert int(res.iters[0]) < 200
+    assert not np.isfinite(float(res.eta[0]))
+    assert bool(res.converged[1])
+    assert np.all(np.isfinite(np.asarray(res.lam[1])))
+    # unguarded: the poisoned system burns the whole pack budget
+    res_u = pcg_pallas_packed(blocks, None, gamma, lam0, exit_tol=1e-7,
+                              max_iter=50, precond="identity", P=P,
+                              interpret=True)
+    assert int(res_u.iters[0]) == 50
+
+
+@pytest.mark.parametrize("method", ["classic", "pipelined"])
+def test_packed_guard_routed_from_backend(method):
+    """A divergence-guarded K=32 fleet must run lane-packed (round-2
+    routing sent it to the grid kernel, which raised on K % 128 != 0)."""
+    from tpcg.solver import pallas_backend
+
+    B, n, K = 4, 4, 32
+    blocks, gamma = _batch(B, n, K, seed=22)
+    blocks = blocks.at[1].set(0.0)
+    lam0 = jnp.zeros_like(gamma)
+    res = pallas_backend.pcg_pallas_batched(
+        blocks, None, gamma, lam0, exit_tol=1e-7, max_iter=200,
+        precond="block_jacobi", method=method, stop_on_nonfinite=True,
+        interpret=True)
+    ok = [b for b in range(B) if b != 1]
+    assert not bool(res.converged[1]) and int(res.iters[1]) < 200
+    for b in ok:
+        assert bool(res.converged[b]), f"system {b}"
+        pb = precond.build(BlockTridiag(blocks[b]), "block_jacobi").blocks
+        solver = (pcg_pipelined_jnp if method == "pipelined"
+                  else jnp_backend.pcg_jnp)
+        r1 = solver(blocks[b], pb, gamma[b], lam0[b], exit_tol=1e-7,
+                    max_iter=200)
+        # looser than the parity tests: the packed loop's freeze points and
+        # replacement cadence can differ by a pass, and this test is about
+        # the guard, not tight iterate parity
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), rtol=2e-3, atol=2e-4)
+
+
+def test_packed_fixed_matches_per_system():
+    """Lane-packed fixed-budget mode: every system runs exactly max_iter
+    passes and matches the per-system jnp fixed oracle; plan_pack dummies
+    (zero rhs) stay parked at zero through the budget."""
+    P, K, n, budget = 4, 8, 4, 60
+    blocks, gamma = _batch(P, n, K, seed=23)
+    gamma = gamma.at[0].set(0.0)  # converged at entry, no exit test
+    lam0 = jnp.zeros_like(gamma)
+    res = pcg_pallas_packed(blocks, None, gamma, lam0, exit_tol=1e-7,
+                            max_iter=budget, precond="symmetric_stair",
+                            method="fixed", P=P, interpret=True)
+    assert np.all(np.asarray(res.iters) == budget)
+    assert np.all(np.asarray(res.lam[0]) == 0)
+    for b in range(1, P):
+        pb = precond.build(BlockTridiag(blocks[b]),
+                           "symmetric_stair").blocks
+        r1 = jnp_backend.pcg_fixed_jnp(blocks[b], pb, gamma[b], lam0[b],
+                                       exit_tol=1e-7, max_iter=budget)
+        assert bool(res.converged[b]) == bool(r1.converged)
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), rtol=2e-4,
+                                   atol=2e-5)
+
+
+def test_packed_fixed_routed_from_backend():
+    """A fixed-budget K=32 fleet keeps the lane-packing amortization
+    (round-2 routing forced the grid kernel, raising on K % 128 != 0)."""
+    from tpcg.solver import pallas_backend
+
+    B, n, K = 4, 4, 32
+    blocks, gamma = _batch(B, n, K, seed=24)
+    lam0 = jnp.zeros_like(gamma)
+    res = pallas_backend.pcg_pallas_batched(
+        blocks, None, gamma, lam0, exit_tol=1e-7, max_iter=50,
+        precond="block_jacobi", method="fixed", interpret=True)
+    assert np.all(np.asarray(res.iters) == 50)
+    assert np.all(np.asarray(res.converged))

@@ -318,6 +318,9 @@ def sqp_solve_bounded(p: TrajOptProblem, u_lo, u_hi, X0=None, U0=None, *,
       inner_iters: ``max_sqp_iters`` for each inner subproblem.
       **sqp_kwargs: forwarded to :func:`sqp_solve`.
     """
+    if al_iters < 1:
+        raise ValueError(f"al_iters must be >= 1, got {al_iters} (the "
+                         "fallthrough result is the last inner solve)")
     K, m = p.R.shape[0] + 1, p.R.shape[-1]
     n = p.Q.shape[-1]
     dt_ = p.R.dtype

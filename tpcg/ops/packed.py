@@ -133,7 +133,8 @@ def _seg_allreduce(t, PK, K):
 def _pcg_packed_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                        lam_ref, iters_ref, conv_ref, eta_ref,
                        *, n, PK, K, P, max_iter, precond,
-                       method="classic", lean=False):
+                       method="classic", lean=False,
+                       stop_on_nonfinite=False):
     from tpcg.ops.smallinv import (blockdiag_mv_lane_major,
                                    gj_inverse_lane_major)
 
@@ -167,15 +168,20 @@ def _pcg_packed_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         t = jnp.sum(a * b, axis=0, keepdims=True)
         return _seg_allreduce(t, PK, K)
 
-    if method not in ("classic", "pipelined"):
+    if method not in ("classic", "pipelined", "fixed"):
         raise ValueError(f"bad method {method!r}")
 
-    if method == "pipelined":
-        lam, iters_v, conv_v, eta_v = _packed_pipelined_loop(
+    if method == "fixed":
+        lam, iters_v, conv_v, eta_v = _packed_fixed_loop(
             mv, apply_pinv, vdot_seg, gamma, lam0, tol, max_iter, PK)
+    elif method == "pipelined":
+        lam, iters_v, conv_v, eta_v = _packed_pipelined_loop(
+            mv, apply_pinv, vdot_seg, gamma, lam0, tol, max_iter, PK,
+            stop_on_nonfinite=stop_on_nonfinite)
     else:
         lam, iters_v, conv_v, eta_v = _packed_classic_loop(
-            mv, apply_pinv, vdot_seg, gamma, lam0, tol, max_iter, PK)
+            mv, apply_pinv, vdot_seg, gamma, lam0, tol, max_iter, PK,
+            stop_on_nonfinite=stop_on_nonfinite)
 
     lam_ref[...] = lam
     # typed int32 index arithmetic (Python-int operands promote the result
@@ -189,24 +195,30 @@ def _pcg_packed_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
 
 
 def _packed_classic_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
-                         max_iter, PK):
+                         max_iter, PK, stop_on_nonfinite=False):
     """The reference's exact loop (pcg.cuh:154-208) with lane-replicated
-    per-system scalars and masked freeze."""
+    per-system scalars and masked freeze.
+
+    ``stop_on_nonfinite``: a system whose eta goes nonfinite is FROZEN
+    (stops iterating, keeps its last iterate, reports converged=False) —
+    the per-system analog of the single-system kernel's loop-predicate
+    guard (tpcg/ops/fused_pcg.py cond), so one diverging system cannot
+    burn the whole pack's iteration budget. ``done32`` (stop mask) is
+    tracked separately from ``conv32`` (converged output)."""
     r = gamma - mv(lam0)
     rt = apply_pinv(r)
     p = rt
     eta = vdot_seg(r, rt)                       # (1, PK)
 
     def cond(c):
-        lam, r, p, eta, iters, conv32, step = c
         # min-reduce, NOT jnp.sum: integer sums promote to i64 under
         # jax_enable_x64 regardless of the dtype= argument
-        return jnp.logical_and(step < max_iter,
-                               jnp.min(conv32) < jnp.int32(1))
+        return jnp.logical_and(c[-1] < max_iter,
+                               jnp.min(c[-2]) < jnp.int32(1))
 
     def body(c):
-        lam, r, p, eta, iters, conv32, step = c
-        active = conv32 == jnp.int32(0)         # (1, PK) bool
+        lam, r, p, eta, iters, conv32, done32, step = c
+        active = done32 == jnp.int32(0)         # (1, PK) bool
         ups = mv(p)
         alpha = eta / vdot_seg(p, ups)
         lam = jnp.where(active, lam + alpha * p, lam)
@@ -218,20 +230,66 @@ def _packed_classic_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
         p = jnp.where(active, rt + beta * p, p)
         iters = iters + active.astype(jnp.int32)
         conv32 = jnp.maximum(conv32, conv_new.astype(jnp.int32))
-        return (lam, r, p, eta_new, iters, conv32, step + 1)
+        done32 = jnp.maximum(done32, conv32)
+        if stop_on_nonfinite:
+            bad = jnp.logical_and(active,
+                                  jnp.logical_not(jnp.isfinite(eta_new)))
+            done32 = jnp.maximum(done32, bad.astype(jnp.int32))
+        return (lam, r, p, eta_new, iters, conv32, done32, step + 1)
 
     conv0 = (jnp.abs(eta) < tol).astype(jnp.int32)
-    init = (lam0, r, p, eta, jnp.zeros((1, PK), jnp.int32), conv0,
+    done0 = conv0
+    if stop_on_nonfinite:
+        done0 = jnp.maximum(
+            done0, jnp.logical_not(jnp.isfinite(eta)).astype(jnp.int32))
+    init = (lam0, r, p, eta, jnp.zeros((1, PK), jnp.int32), conv0, done0,
             jnp.zeros((), jnp.int32))
-    lam, r, p, eta, iters, conv32, _ = jax.lax.while_loop(cond, body, init)
+    lam, r, p, eta, iters, conv32, _, _ = jax.lax.while_loop(
+        cond, body, init)
     return lam, iters, conv32, eta
 
 
+def _packed_fixed_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
+                       max_iter, PK):
+    """Fixed-budget mode, lane-packed: exactly ``max_iter`` passes of the
+    classic recurrence with NO per-pass tests or freeze masks at all (the
+    single-system kernel's method="fixed", tpcg/ops/fused_pcg.py:147-186,
+    with lane-replicated per-system scalars). The +tiny denominators keep
+    fully-converged systems (and the plan_pack dummy pads: zero rhs, zero
+    residual) at alpha = 0/tiny = 0 instead of 0/0 = NaN. Convergence is
+    VERIFIED per system (|eta| < tol) once, after the loop — the bounded-
+    latency real-time contract, per-system."""
+    tiny = jnp.asarray(1e-30, gamma.dtype)
+    r = gamma - mv(lam0)
+    rt = apply_pinv(r)
+    eta0 = vdot_seg(r, rt)
+
+    def fbody(_, c):
+        lam, r, p, eta = c
+        ups = mv(p)
+        alpha = eta / (vdot_seg(p, ups) + tiny)
+        lam = lam + alpha * p
+        r = r - alpha * ups
+        rt = apply_pinv(r)
+        eta_new = vdot_seg(r, rt)
+        beta = eta_new / (eta + tiny)
+        p = rt + beta * p
+        return (lam, r, p, eta_new)
+
+    lam, r, p, eta = jax.lax.fori_loop(
+        0, max_iter, fbody, (lam0, r, rt, eta0))
+    iters = jnp.full((1, PK), max_iter, jnp.int32)
+    conv = (jnp.abs(eta) < tol).astype(jnp.int32)
+    return lam, iters, conv, eta
+
+
 def _packed_pipelined_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
-                           max_iter, PK, replace_every: int = 16):
+                           max_iter, PK, replace_every: int = 16,
+                           stop_on_nonfinite=False):
     """Ghysels-Vanroose recurrences with lane-replicated per-system scalars
     (tpcg/solver/pipelined.py semantics, incl. the eta-guarded residual
-    replacement)."""
+    replacement). ``stop_on_nonfinite`` freezes per-system on nonfinite
+    eta, like :func:`_packed_classic_loop`."""
     r = gamma - mv(lam0)
     u = apply_pinv(r)
     w = mv(u)
@@ -244,8 +302,8 @@ def _packed_pipelined_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
 
     def body(c):
         (x, r, u, w, z, q, s, p, eta_prev, alpha_prev, iters, conv32,
-         step) = c
-        active = conv32 == jnp.int32(0)
+         done32, step) = c
+        active = done32 == jnp.int32(0)
         eta = jnp.where(active, vdot_seg(r, u), eta_prev)
         delta = vdot_seg(w, u)
         m = apply_pinv(w)
@@ -286,15 +344,24 @@ def _packed_pipelined_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
                 (x, p, r, u, w, s, q, z))
         conv_new = jnp.logical_and(active, jnp.abs(eta) < tol)
         conv32 = jnp.maximum(conv32, conv_new.astype(jnp.int32))
+        done32 = jnp.maximum(done32, conv32)
+        if stop_on_nonfinite:
+            bad = jnp.logical_and(active,
+                                  jnp.logical_not(jnp.isfinite(eta)))
+            done32 = jnp.maximum(done32, bad.astype(jnp.int32))
         alpha_prev = jnp.where(active, alpha, alpha_prev)
         iters = iters + active.astype(jnp.int32)
         return (x, r, u, w, z, q, s, p, eta, alpha_prev, iters, conv32,
-                step + 1)
+                done32, step + 1)
 
     conv0 = (jnp.abs(eta0) < tol).astype(jnp.int32)
+    done0 = conv0
+    if stop_on_nonfinite:
+        done0 = jnp.maximum(
+            done0, jnp.logical_not(jnp.isfinite(eta0)).astype(jnp.int32))
     init = (lam0, r, u, w, zeros, zeros, zeros, zeros, eta0,
             jnp.ones_like(eta0), jnp.zeros((1, PK), jnp.int32), conv0,
-            jnp.zeros((), jnp.int32))
+            done0, jnp.zeros((), jnp.int32))
     out = jax.lax.while_loop(cond, body, init)
     x, eta, iters, conv32 = out[0], out[8], out[10], out[11]
     return x, iters, conv32, eta
@@ -470,11 +537,13 @@ def pad_systems(S_blocks, Pinv_blocks, gamma, lam0, K_pad: int, B_pad: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond", "method", "P",
-                                    "lean", "stream", "interpret"))
+                                    "lean", "stream", "stop_on_nonfinite",
+                                    "interpret"))
 def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                       max_iter: int, precond: str = None,
                       method: str = "classic", P: int = None,
                       lean: bool = None, stream: bool = False,
+                      stop_on_nonfinite: bool = False,
                       interpret: bool = False) -> PCGResult:
     """Batched fused solve, P systems lane-packed per grid step.
 
@@ -527,7 +596,8 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     tol = jnp.asarray([exit_tol], dtype)
 
     kw = dict(n=n, PK=PK, K=K, P=P, max_iter=max_iter, precond=precond,
-              method=method, lean=lean)
+              method=method, lean=lean,
+              stop_on_nonfinite=stop_on_nonfinite)
 
     def block(shape):
         # None squeezes the batch dim away so the kernel sees a plain

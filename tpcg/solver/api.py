@@ -58,6 +58,19 @@ def _jnp_solver(method: str):
     return jnp_backend.pcg_jnp
 
 
+def _check_fixed_guard(config: PCGConfig) -> None:
+    """The fixed-budget mode runs exactly ``max_iter`` passes with no
+    per-iteration tests at all (that IS its latency contract), so a
+    divergence guard cannot act mid-solve; reject the combination instead
+    of silently ignoring the flag (a nonfinite solve still reports
+    ``converged=False`` from the post-hoc |eta| < tol verification)."""
+    if config.method == "fixed" and config.stop_on_nonfinite:
+        raise ValueError(
+            "method='fixed' has no per-iteration tests by design, so "
+            "stop_on_nonfinite cannot act; drop the flag (divergence still "
+            "surfaces as converged=False / nonfinite eta in the result)")
+
+
 def _pick_backend(backend: str, dtype) -> str:
     if backend not in BACKENDS:
         raise ValueError(f"backend must be one of {BACKENDS}, got {backend!r}")
@@ -97,6 +110,7 @@ def pcg_solve(S, gamma, lam0=None, *,
     if config.method == "block":
         raise ValueError("method='block' is multi-RHS only; use "
                          "pcg_solve_multirhs")
+    _check_fixed_guard(config)
     check_system(S, gamma, lam0)
     if Pinv is not None:
         Pinv = _as_bt(Pinv)
@@ -146,6 +160,7 @@ def pcg_solve_batched(S, gamma, lam0=None, *,
     if config.method == "block":
         raise ValueError("method='block' is multi-RHS only (shared S); use "
                          "pcg_solve_multirhs")
+    _check_fixed_guard(config)
     if S.blocks.ndim != 5:
         raise ValueError(f"batched S.blocks must be (B, K, 3, n, n), got "
                          f"{S.blocks.shape}")

@@ -66,23 +66,19 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     per grid step, per-iteration latency amortized over the pack, idle
     lanes at K < 128 filled) whenever a lane-aligned pack fits VMEM; the
     one-system-per-grid-step kernel otherwise (large K — its grid blocks
-    need K % 128 == 0). ``stop_on_nonfinite`` forces the grid kernel (the
-    packed loop has no divergence guard yet) and therefore K % 128 == 0.
+    need K % 128 == 0). All three methods (classic/pipelined/fixed) and
+    ``stop_on_nonfinite`` run lane-packed.
     """
     from tpcg.ops.packed import pad_systems, pcg_pallas_packed, plan_pack
     from tpcg.utils.feasibility import pick_fused_variant
 
     B, K = gamma.shape[0], gamma.shape[1]
     n = gamma.shape[2]
-    plan = None
-    # the packed loops have no stop_on_nonfinite or fixed-budget form;
-    # those route through the grid-batched kernel (K % 128 == 0)
-    if not stop_on_nonfinite and method != "fixed":
-        plan = plan_pack(B, K, n, S_blocks.dtype,
-                         precond=precond,
-                         identity_pinv=Pinv_blocks is None and
-                         precond in (None, "identity"),
-                         method=method)
+    plan = plan_pack(B, K, n, S_blocks.dtype,
+                     precond=precond,
+                     identity_pinv=Pinv_blocks is None and
+                     precond in (None, "identity"),
+                     method=method)
     if plan is not None and plan[0] == 1 and K % 128 == 0:
         plan = None  # no amortization to gain; the grid kernel is leaner
     if plan is not None:
@@ -96,15 +92,16 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
         res = pcg_pallas_packed(S_p, P_p, g_p, l_p, exit_tol=exit_tol,
                                 max_iter=max_iter, precond=precond,
                                 method=method, P=P, stream=stream,
+                                stop_on_nonfinite=stop_on_nonfinite,
                                 interpret=interpret)
         return PCGResult(lam=res.lam[:B, :K], iters=res.iters[:B],
                          converged=res.converged[:B], eta=res.eta[:B])
 
     if K % 128 != 0:
         raise ValueError(
-            f"no lane-aligned pack fits VMEM for n={n}, K={K} and the "
-            "grid-batched kernel needs K % 128 == 0; use backend='jnp' or "
-            "shard the knot axis")
+            f"no lane-aligned pack fits VMEM for n={n}, K={K}, and the "
+            "fallback grid-batched kernel needs K % 128 == 0; use "
+            "backend='jnp' or shard the knot axis")
     lean = pick_fused_variant(
         S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
         identity_pinv=Pinv_blocks is None, precond=precond, method=method)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpcg import PCGConfig, layout, pcg_solve, precond
 from tpcg.utils import diagnostics
@@ -141,3 +142,42 @@ def test_fleet_summary_flags_unconverged():
     assert s["unconverged_indices"] == [1]
     assert s["nonfinite_eta_indices"] == [1]
     assert s["straggler_index"] == 1
+
+
+def test_eta_history_pallas_backend_matches_jnp():
+    """backend='pallas' writes the trace from INSIDE the fused kernel
+    (debug_eta); off-chip interpret mode must reproduce the jnp scan's
+    curve to reduction-order noise, flat tail included."""
+    import jax
+    from tpcg import layout
+
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(3), 5, 12)
+    g = jax.random.normal(jax.random.PRNGKey(4), (12, 5), jnp.float32)
+    for method in ("classic", "pipelined"):
+        cfg = PCGConfig(exit_tol=1e-7, max_iter=60,
+                        preconditioner="symmetric_stair", method=method)
+        lam_j, etas_j = diagnostics.eta_history(S, g, config=cfg)
+        lam_p, etas_p = diagnostics.eta_history(S, g, config=cfg,
+                                                backend="pallas")
+        assert etas_p.shape == etas_j.shape
+        np.testing.assert_allclose(np.asarray(lam_p), np.asarray(lam_j),
+                                   rtol=2e-4, atol=2e-5, err_msg=method)
+        np.testing.assert_allclose(np.asarray(etas_p), np.asarray(etas_j),
+                                   rtol=2e-3, atol=1e-9, err_msg=method)
+
+
+def test_eta_history_pallas_fixed_traces_every_pass():
+    import jax
+    from tpcg import layout
+
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(5), 4, 8)
+    g = jax.random.normal(jax.random.PRNGKey(6), (8, 4), jnp.float32)
+    cfg = PCGConfig(exit_tol=1e-7, max_iter=40,
+                    preconditioner="block_jacobi", method="fixed")
+    lam, etas = diagnostics.eta_history(S, g, config=cfg, backend="pallas")
+    assert etas.shape == (41,)
+    e = np.abs(np.asarray(etas))
+    assert e[0] > e[-1]          # monotone-ish decay overall
+    assert e[-1] < 1e-7          # converged by the end of the budget
+    with pytest.raises(ValueError, match="pallas"):
+        diagnostics.eta_history(S, g, config=cfg, backend="jnp")

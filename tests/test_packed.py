@@ -306,3 +306,23 @@ def test_packed_fixed_routed_from_backend():
         precond="block_jacobi", method="fixed", interpret=True)
     assert np.all(np.asarray(res.iters) == 50)
     assert np.all(np.asarray(res.converged))
+
+
+def test_plan_pack_selects_stream_at_fleet_scale():
+    """VERDICT r2 item 5: the fleet-bench config (B=256, n=14, K=128,
+    in-kernel symmetric_stair) must actually select the manual-DMA stream
+    variant at double the buffered-fast width — if this regresses, the
+    measured-fastest path silently falls off."""
+    from tpcg.ops.packed import plan_pack
+
+    for method in ("pipelined", "classic", "fixed"):
+        plan = plan_pack(256, 128, 14, jnp.float32,
+                         precond="symmetric_stair", method=method)
+        assert plan is not None
+        P, K_pad, B_pad, stream = plan
+        assert stream, f"stream not selected for {method}"
+        assert (P, K_pad, B_pad) == (8, 128, 256), method
+    # short chains stay buffered (stream measured a wash at K=32)
+    plan32 = plan_pack(256, 32, 14, jnp.float32,
+                       precond="symmetric_stair", method="pipelined")
+    assert plan32 is not None and not plan32[3]

@@ -112,3 +112,32 @@ def test_packed_fleet_route_compiles_and_matches_on_chip():
             np.testing.assert_allclose(np.asarray(res.lam[b]),
                                        np.asarray(r1.lam),
                                        rtol=5e-3, atol=5e-3)
+
+
+def test_stream_variant_parity_on_chip():
+    """Dedicated stream-kernel verification (VERDICT r2 item 5): the
+    manual-DMA variant (S in HBM -> one VMEM scratch via make_async_copy,
+    pre-padded sublanes value-sliced off) has no interpret support, so
+    ONLY this test exercises its DMA path — explicit stream=True vs the
+    buffered kernel on identical packs."""
+    _require_tpu()
+    from tpcg.models import trajopt
+    from tpcg.ops.packed import pcg_pallas_packed
+
+    B, n, K = 8, 14, 128
+    Sb, gb = trajopt.batch_systems(jax.random.PRNGKey(11), B, n, K)
+    l0 = jnp.zeros_like(gb)
+    r_stream = pcg_pallas_packed(Sb.blocks, None, gb, l0, exit_tol=1e-6,
+                                 max_iter=100, precond="symmetric_stair",
+                                 method="pipelined", P=8, stream=True)
+    r_buf = pcg_pallas_packed(Sb.blocks, None, gb, l0, exit_tol=1e-6,
+                              max_iter=100, precond="symmetric_stair",
+                              method="pipelined", P=4, stream=False)
+    assert bool(np.asarray(r_stream.converged).all())
+    assert bool(np.asarray(r_buf.converged).all())
+    np.testing.assert_allclose(np.asarray(r_stream.lam),
+                               np.asarray(r_buf.lam), rtol=5e-3, atol=5e-3)
+    # same per-system problems -> same iteration counts within the packed
+    # reduction-order slack
+    assert np.abs(np.asarray(r_stream.iters)
+                  - np.asarray(r_buf.iters)).max() <= 2

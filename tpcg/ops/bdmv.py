@@ -50,7 +50,14 @@ def bdmv(blocks, x):
     same guarantee the reference gets by skipping those loads entirely
     (pcg.cuh:105-106) and summing only 2*b_dim columns at the boundary rows
     (utils.cuh:58-75).
+
+    Block-BANDED operands (D != 3 pages, e.g. a materialized stair_refined
+    Phi^-1) dispatch to the width-general :func:`tpcg.ops.banded.banded_mv`.
     """
+    if blocks.shape[-3] != 3:
+        from tpcg.ops.banded import banded_mv
+
+        return banded_mv(blocks, x)
     left = blocks[..., :, 0, :, :]
     diag = blocks[..., :, 1, :, :]
     right = blocks[..., :, 2, :, :]

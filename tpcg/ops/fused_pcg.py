@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpcg.ops.banded import banded_mv_lane_major
 from tpcg.ops.bdmv import (_lane_shift_down, _lane_shift_up,
                            bdmv_lane_major)
 
@@ -68,7 +69,7 @@ def _apply_stair_from_ref(S_ref, Dinv_t, v, n, K):
 
 
 def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
-                lam_ref, iters_ref, conv_ref, eta_ref,
+                lam_ref, iters_ref, conv_ref, eta_ref, trace_ref=None,
                 *, n, K, max_iter, precond, stop_on_nonfinite=False,
                 method="classic", out_idx=0, lean=False,
                 precond_refine=0):
@@ -101,12 +102,16 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
     lam0 = lam0_ref[:, :]
     tol = tol_ref[0]
 
+    # The explicit-Pinv apply is width-general: 3 pages (cbtd) or 2b+1
+    # pages (a materialized banded stair_refined Phi^-1) — same FMA form,
+    # D diagonal pages (tpcg/ops/banded.py banded_mv_lane_major; for D=3
+    # it computes exactly the sequence bdmv_lane_major does).
     if lean:
         mv = lambda v: _bdmv_from_ref(S_ref, v, n, K)
         diag = lambda: S_ref[1]
         stair = lambda Dinv_t, v: _apply_stair_from_ref(
             S_ref, Dinv_t, v, n, K)
-        pinv_mv = lambda v: _bdmv_from_ref(pinv_ref, v, n, K)
+        pinv_mv = lambda v: banded_mv_lane_major(pinv_ref, v, n, K)
     else:
         S = S_ref[:, :, :, :]
         mv = lambda v: bdmv_lane_major(S, v, n=n, K=K)
@@ -114,8 +119,8 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         stair = lambda Dinv_t, v: apply_symmetric_stair_factored(
             S, Dinv_t, v, n, K)
         if precond == "explicit":
-            Pinv = pinv_ref[:, :, :, :]
-            pinv_mv = lambda v: bdmv_lane_major(Pinv, v, n=n, K=K)
+            Pinv = pinv_ref[...]
+            pinv_mv = lambda v: banded_mv_lane_major(Pinv, v, n, K)
 
     if precond == "identity":
         apply_pinv = lambda v: v  # pinv_ref is None — no operand at all
@@ -159,8 +164,10 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         eta0 = vdot11(r, rt)
 
         tiny = jnp.asarray(1e-30, gamma.dtype)
+        if trace_ref is not None:
+            trace_ref[0] = eta0[0, 0]
 
-        def fbody(_, c):
+        def fbody(i, c):
             # the +tiny denominators keep a fully-converged iterate (r ~ 0
             # with no exit test to stop the loop) at alpha ~ 0/tiny = 0
             # instead of 0/0 = NaN; away from convergence they are
@@ -172,6 +179,8 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
             r = r - alpha * ups
             rt = apply_pinv(r)
             eta_new = vdot11(r, rt)
+            if trace_ref is not None:
+                trace_ref[i + jnp.int32(1)] = eta_new[0, 0]
             beta = eta_new / (eta + tiny)
             p = rt + beta * p
             return (lam, r, p, eta_new)
@@ -192,13 +201,20 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         # per solve at iiwa14 scale; the classic loop does NOT benefit —
         # measured slightly slower — so it keeps scalar dots)
         vdot11 = lambda a, b: jnp.sum(a * b, keepdims=True).reshape(1, 1)
+        trace_store = None
+        if trace_ref is not None:
+            # debug-only: the (1,1)->SMEM extract per pass reintroduces
+            # exactly the scalar round trip the pipelined method avoids
+            trace_store = lambda i, e: trace_ref.__setitem__(i, e[0, 0])
         lam, iters, converged, eta = pipelined_pcg_body(
             mv, apply_pinv, vdot11, gamma, lam0, tol, max_iter,
-            stop_on_nonfinite)
+            stop_on_nonfinite, trace_store=trace_store)
         lam_ref[:, :] = lam
         iters_ref[out_idx] = iters
         conv_ref[out_idx] = converged.astype(jnp.int32)
         eta_ref[out_idx] = eta[0, 0]
+        if trace_ref is not None:
+            _flat_fill_trace(trace_ref, iters, eta[0, 0], max_iter)
         return
 
     # --- classic method (the reference's exact loop) ---
@@ -208,6 +224,8 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
     rt = apply_pinv(r)
     p = rt
     eta = vdot(r, rt)
+    if trace_ref is not None:
+        trace_ref[0] = eta
 
     def cond(c):
         _lam, _r, _p, eta, iters, converged = c
@@ -224,6 +242,8 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         r = r - alpha * ups
         rt = apply_pinv(r)                       # pcg.cuh:181-184
         eta_new = vdot(r, rt)                    # pcg.cuh:187-193
+        if trace_ref is not None:
+            trace_ref[iters + jnp.int32(1)] = eta_new
         converged = jnp.abs(eta_new) < tol       # pcg.cuh:195
         beta = eta_new / eta                     # pcg.cuh:199-206 (dead when
         p = rt + beta * p                        #  converged — loop exits)
@@ -239,6 +259,20 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
     iters_ref[out_idx] = iters
     conv_ref[out_idx] = converged.astype(jnp.int32)
     eta_ref[out_idx] = eta
+    if trace_ref is not None:
+        _flat_fill_trace(trace_ref, iters, eta, max_iter)
+
+
+def _flat_fill_trace(trace_ref, iters, eta_final, max_iter):
+    """Flatten the tail of a debug_eta trace past the exit point — the
+    eta_history contract (tpcg/utils/diagnostics.py): the curve stays flat
+    after the solver would have exited. Runs ONCE per solve."""
+    def fill(i, acc):
+        trace_ref[i] = eta_final
+        return acc
+
+    jax.lax.fori_loop(iters + jnp.int32(1), jnp.int32(max_iter + 1), fill,
+                      jnp.int32(0))
 
 
 def _scalar_spec():
@@ -255,12 +289,13 @@ def _pcg_kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref, *out_refs, **kw):
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond",
                                     "stop_on_nonfinite", "method",
-                                    "lean", "precond_refine", "interpret"))
+                                    "lean", "precond_refine", "debug_eta",
+                                    "interpret"))
 def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
                          exit_tol, max_iter: int, precond: str = None,
                          stop_on_nonfinite: bool = False,
                          method: str = "classic", lean: bool = False,
-                         precond_refine: int = 0,
+                         precond_refine: int = 0, debug_eta: bool = False,
                          interpret: bool = False):
     """Run the fused solve on lane-major inputs.
 
@@ -273,8 +308,14 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
       precond: ``None`` (infer explicit/identity from ``Pinv_lm``) or one of
         ``"block_jacobi"`` / ``"symmetric_stair"`` to build Phi^-1 inside
         the kernel from S (``Pinv_lm`` must be None then).
+      debug_eta: also return the per-pass eta trace ``(max_iter + 1,)``
+        written FROM THE KERNEL (slot 0 = pre-loop eta, slot k = eta after
+        pass k, flat past the exit point — the eta_history contract, but
+        recording the production kernel's own arithmetic). Adds one SMEM
+        scalar store per pass — a debug mode, not the perf path.
     Returns:
-      ``(lam_lm (n, K), iters (), converged (), eta ())``.
+      ``(lam_lm (n, K), iters (), converged (), eta ())``, plus
+      ``etas (max_iter + 1,)`` when ``debug_eta``.
     """
     _, n, _, K = S_lm.shape
     dtype = S_lm.dtype
@@ -297,20 +338,27 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
         kernel = functools.partial(_pcg_kernel_nopinv, **kw)
         in_specs = [_scalar_spec(), vmem, vmem, vmem]
         operands = (tol, S_lm, gamma_lm, lam0_lm)
+    out_shape = [
+        jax.ShapeDtypeStruct((n, K), dtype),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+        jax.ShapeDtypeStruct((1,), dtype),
+    ]
+    out_specs = [vmem, _scalar_spec(), _scalar_spec(), _scalar_spec()]
+    if debug_eta:
+        out_shape.append(jax.ShapeDtypeStruct((max_iter + 1,), dtype))
+        out_specs.append(_scalar_spec())
     with jax.enable_x64(False):
-        lam, iters, conv, eta = pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
-            out_shape=(
-                jax.ShapeDtypeStruct((n, K), dtype),
-                jax.ShapeDtypeStruct((1,), jnp.int32),
-                jax.ShapeDtypeStruct((1,), jnp.int32),
-                jax.ShapeDtypeStruct((1,), dtype),
-            ),
+            out_shape=tuple(out_shape),
             in_specs=in_specs,
-            out_specs=(vmem, _scalar_spec(), _scalar_spec(), _scalar_spec()),
+            out_specs=tuple(out_specs),
             interpret=interpret,
         )(*operands)
-    return lam, iters[0], conv[0] != 0, eta[0]
+    lam, iters, conv, eta = out[:4]
+    base = (lam, iters[0], conv[0] != 0, eta[0])
+    return (*base, out[4]) if debug_eta else base
 
 
 def _pcg_batched_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
@@ -389,7 +437,8 @@ def fused_pcg_lane_major_batched(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
     if precond == "explicit":
         kernel = functools.partial(_pcg_batched_kernel, **kw)
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                    block((3, n, n, K)), block((3, n, n, K)),
+                    block((3, n, n, K)),
+                    block((Pinv_lm.shape[-4], n, n, K)),
                     block((n, K)), block((n, K))]
         operands = (tol, S_lm, Pinv_lm, gamma_lm, lam0_lm)
     else:

@@ -369,12 +369,11 @@ def _packed_pipelined_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
 
 def _fits_vmem(state_size, pk, dtype, identity_pinv, precond, method,
                lean=False):
-    from tpcg.utils.feasibility import VMEM_BYTES, VMEM_HEADROOM, \
-        packed_vmem_bytes
+    from tpcg.utils.feasibility import _budget, packed_vmem_bytes
 
     need = packed_vmem_bytes(state_size, pk, dtype, identity_pinv,
                              precond, method, lean)
-    return need <= int(VMEM_BYTES * VMEM_HEADROOM)
+    return need <= _budget()
 
 
 def _fits_any(state_size, pk, dtype, identity_pinv, precond, method):
@@ -390,15 +389,14 @@ def _fits_vmem_stream(state_size, pk, dtype, identity_pinv, precond,
     """Stream variant VMEM: the fused (gridless) model — the manual DMA
     scratch IS the operand buffer, no pipeline double-buffering — plus the
     small double-buffered vector windows."""
-    from tpcg.utils.feasibility import VMEM_BYTES, VMEM_HEADROOM, \
-        fused_vmem_bytes
+    from tpcg.utils.feasibility import _budget, fused_vmem_bytes
 
     itemsize = jnp.dtype(dtype).itemsize
     n_pad = -(-state_size // 8) * 8
     vec_windows = 3 * n_pad * pk * itemsize
     need = fused_vmem_bytes(state_size, pk, dtype, identity_pinv, precond,
                             1, method, lean=False) + vec_windows
-    return need <= int(VMEM_BYTES * VMEM_HEADROOM)
+    return need <= _budget()
 
 
 def pack_width(B: int, K: int, state_size: int, dtype=jnp.float32,

@@ -77,6 +77,59 @@ def symmetric_stair(S: BlockTridiag) -> BlockTridiag:
     return BlockTridiag(zero_pad_slots(blocks))
 
 
+def stair_refined(S: BlockTridiag, levels: int = 1, band: int = None,
+                  sym: bool = True):
+    """MATERIALIZED polynomial refinement of the symmetric-stair Phi^-1 —
+    the round-3 headline preconditioner (VERDICT round-2 item 1).
+
+    The Neumann-refined apply ``z <- z + M (v - S z)`` (PCGConfig.
+    precond_refine) cuts iteration counts hard (measured 35 -> 25/21/18 at
+    1/2/3 levels, iiwa14 K=128) but tripled the in-loop apply cost and
+    LOST on one chip (docs/ROADMAP.md item 2). The same effective operator,
+
+        P_L = sum_{i=0..L} (I - M S)^i M,      M = symmetric-stair Phi^-1
+
+    is a block-BANDED matrix (exact half-bandwidth ``2L + 1``), so it can
+    be built ONCE per solve at XLA level (batched MXU matmuls over the knot
+    axis, tpcg/ops/banded.py) and applied in-loop as ONE banded SpMV — the
+    same O(1)-sync VPU shape the solver already runs for S itself. Fewer
+    iterations at near-unchanged per-iteration cost.
+
+    Args:
+      levels: refinement depth L (>= 1). The iteration-count win saturates
+        fast; the build cost and the apply bandwidth grow per level.
+      band: truncate P to this half-bandwidth (intermediates too). Default
+        ``2*levels + 1`` = exact. Truncation trades a slightly weaker
+        spectrum for a narrower apply.
+      sym: re-symmetrize after truncation (exact P_L is symmetric; band
+        truncation of INTERMEDIATE products can perturb that, and CG needs
+        a symmetric preconditioner).
+
+    Returns a :class:`tpcg.types.BlockBanded`.
+    """
+    from tpcg.ops import banded
+    from tpcg.types import BlockBanded
+
+    if levels < 1:
+        raise ValueError(f"stair_refined needs levels >= 1, got {levels}")
+    exact = 2 * levels + 1
+    band = exact if band is None else band
+    if band < 1:
+        raise ValueError(f"band must be >= 1, got {band}")
+    M = symmetric_stair(S).blocks          # (..., K, 3, n, n), band 1
+    Sp = zero_pad_slots(S.blocks)
+    P = M
+    with jax.default_matmul_precision("highest"):
+        for _ in range(levels):
+            SP = banded.banded_mm(Sp, P, out_band=band + 1)
+            MSP = banded.banded_mm(M, SP, out_band=band)
+            P = banded.banded_add(banded.banded_add(M, P), MSP, 1.0, -1.0)
+            P = banded.truncate_band(P, band)
+        if sym and band < exact:
+            P = banded.symmetrize(P)
+    return BlockBanded(P)
+
+
 _BUILDERS = {
     "identity": identity,
     "block_jacobi": block_jacobi,
@@ -84,27 +137,47 @@ _BUILDERS = {
 }
 
 
-def build(S: BlockTridiag, kind: str) -> BlockTridiag:
-    """Construct the Phi^-1 of the given kind for S."""
+def build(S: BlockTridiag, kind: str, **kwargs):
+    """Construct the Phi^-1 of the given kind for S. ``stair_refined``
+    accepts ``levels``/``band``/``sym`` keywords (see
+    :func:`stair_refined`); the cbtd kinds take none."""
+    if kind == "stair_refined":
+        return stair_refined(S, **kwargs)
     try:
-        return _BUILDERS[kind](S)
+        builder = _BUILDERS[kind]
     except KeyError:
-        raise ValueError(f"unknown preconditioner kind {kind!r}; "
-                         f"expected one of {sorted(_BUILDERS)}") from None
+        raise ValueError(
+            f"unknown preconditioner kind {kind!r}; expected one of "
+            f"{sorted([*_BUILDERS, 'stair_refined'])}") from None
+    if kwargs:
+        raise ValueError(f"{kind!r} takes no builder options, got "
+                         f"{sorted(kwargs)}")
+    return builder(S)
 
 
 def materialize(S: BlockTridiag, config: PCGConfig,
-                Pinv: Optional[BlockTridiag] = None) -> BlockTridiag:
+                Pinv: Optional[BlockTridiag] = None):
     """Resolve the Pinv a solve should use: an explicit one if provided,
-    otherwise built per ``config.preconditioner``."""
+    otherwise built per ``config.preconditioner``. The result's ``.blocks``
+    is ``(..., K, D, n, n)`` with D = 3 for the cbtd kinds and D = 2*band+1
+    for banded ones (``stair_refined`` / an explicit ``BlockBanded``)."""
     if Pinv is not None:
-        if Pinv.blocks.shape != S.blocks.shape:
+        pb, sb = Pinv.blocks.shape, S.blocks.shape
+        if (pb[:-3] != sb[:-3] or pb[-2:] != sb[-2:]
+                or pb[-3] % 2 != 1):
             raise ValueError(
-                f"Pinv shape {Pinv.blocks.shape} != S shape {S.blocks.shape}")
+                f"Pinv shape {pb} incompatible with S shape {sb} (expect "
+                "same batch/K/n dims and an odd block-diagonal count)")
         return Pinv
     if config.preconditioner == "explicit":
         raise ValueError("config.preconditioner='explicit' requires passing "
                          "Pinv")
+    if config.preconditioner == "stair_refined":
+        # precond_refine doubles as the materialized refinement depth here
+        # (it is CONSUMED by the build — the solve applies P once per
+        # iteration, no in-loop refinement; tpcg/solver/api.py zeroes the
+        # apply-time refine for this kind)
+        return stair_refined(S, levels=max(1, config.precond_refine))
     return build(S, config.preconditioner)
 
 

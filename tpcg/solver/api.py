@@ -124,6 +124,10 @@ def pcg_solve(S, gamma, lam0=None, *,
                                            "symmetric_stair"))
     if not identity and not in_kernel:
         Pinv = precond.materialize(S, config, Pinv)
+    # stair_refined CONSUMES precond_refine at build time (materialized
+    # refinement depth); the apply is one banded SpMV per iteration
+    refine = (0 if config.preconditioner == "stair_refined"
+              else config.precond_refine)
 
     if backend == "jnp":
         pblocks = S.blocks if identity else Pinv.blocks
@@ -132,7 +136,7 @@ def pcg_solve(S, gamma, lam0=None, *,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
             identity_pinv=identity,
             stop_on_nonfinite=config.stop_on_nonfinite,
-            precond_refine=config.precond_refine)
+            precond_refine=refine)
     else:
         from tpcg.solver import pallas_backend
         pinv_blocks = None if (identity or in_kernel) else Pinv.blocks
@@ -141,7 +145,7 @@ def pcg_solve(S, gamma, lam0=None, *,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
             precond=config.preconditioner if in_kernel else None,
             stop_on_nonfinite=config.stop_on_nonfinite,
-            method=config.method, precond_refine=config.precond_refine)
+            method=config.method, precond_refine=refine)
 
 
 def pcg_solve_batched(S, gamma, lam0=None, *,

@@ -19,35 +19,44 @@ from tpcg.types import PCGResult
 @functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond",
                                     "stop_on_nonfinite", "method",
-                                    "precond_refine", "interpret"))
+                                    "precond_refine", "debug_eta",
+                                    "interpret"))
 def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                max_iter: int, precond: str = None,
                stop_on_nonfinite: bool = False, method: str = "classic",
-               precond_refine: int = 0,
-               interpret: bool = False) -> PCGResult:
+               precond_refine: int = 0, debug_eta: bool = False,
+               interpret: bool = False):
     """Single-system fused solve; canonical layout in/out.
 
     ``Pinv_blocks=None`` selects the identity-preconditioner fast path —
     unless ``precond`` names ``"block_jacobi"``/``"symmetric_stair"``, in
     which case Phi^-1 is CONSTRUCTED inside the kernel from S (one launch
     for build + solve).
+
+    ``debug_eta=True`` returns ``(PCGResult, etas)`` with the per-pass eta
+    trace written from the kernel itself (tpcg/ops/fused_pcg.py) — on-chip
+    convergence forensics over the production arithmetic.
     """
     from tpcg.utils.feasibility import pick_fused_variant
     lean = pick_fused_variant(
         S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
-        identity_pinv=Pinv_blocks is None, precond=precond, method=method)
+        identity_pinv=Pinv_blocks is None, precond=precond, method=method,
+        pinv_pages=3 if Pinv_blocks is None else Pinv_blocks.shape[-3])
     S_lm = to_lane_major(S_blocks)
     Pinv_lm = None if Pinv_blocks is None else to_lane_major(
         Pinv_blocks)
     gamma_lm = vec_to_lane_major(gamma)
     lam0_lm = vec_to_lane_major(lam0)
-    lam_lm, iters, conv, eta = fused_pcg_lane_major(
+    out = fused_pcg_lane_major(
         S_lm, Pinv_lm, gamma_lm, lam0_lm, exit_tol=exit_tol,
         max_iter=max_iter, precond=precond, method=method,
         stop_on_nonfinite=stop_on_nonfinite, lean=lean,
-        precond_refine=precond_refine, interpret=interpret)
-    return PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
-                     converged=conv, eta=eta)
+        precond_refine=precond_refine, debug_eta=debug_eta,
+        interpret=interpret)
+    lam_lm, iters, conv, eta = out[:4]
+    res = PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
+                    converged=conv, eta=eta)
+    return (res, out[4]) if debug_eta else res
 
 
 @functools.partial(jax.jit,
@@ -74,11 +83,15 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
 
     B, K = gamma.shape[0], gamma.shape[1]
     n = gamma.shape[2]
-    plan = plan_pack(B, K, n, S_blocks.dtype,
-                     precond=precond,
-                     identity_pinv=Pinv_blocks is None and
-                     precond in (None, "identity"),
-                     method=method)
+    plan = None
+    if Pinv_blocks is None or Pinv_blocks.shape[-3] == 3:
+        # (the packed kernel's explicit path is cbtd-only; a banded
+        # stair_refined Pinv routes through the grid-batched kernel)
+        plan = plan_pack(B, K, n, S_blocks.dtype,
+                         precond=precond,
+                         identity_pinv=Pinv_blocks is None and
+                         precond in (None, "identity"),
+                         method=method)
     if plan is not None and plan[0] == 1 and K % 128 == 0:
         plan = None  # no amortization to gain; the grid kernel is leaner
     if plan is not None:
@@ -104,7 +117,8 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
             "backend='jnp' or shard the knot axis")
     lean = pick_fused_variant(
         S_blocks.shape[-1], S_blocks.shape[-4], S_blocks.dtype,
-        identity_pinv=Pinv_blocks is None, precond=precond, method=method)
+        identity_pinv=Pinv_blocks is None, precond=precond, method=method,
+        pinv_pages=3 if Pinv_blocks is None else Pinv_blocks.shape[-3])
     to_lm = jax.vmap(to_lane_major)
     S_lm = to_lm(S_blocks)
     Pinv_lm = None if Pinv_blocks is None else to_lm(Pinv_blocks)

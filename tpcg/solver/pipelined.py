@@ -71,7 +71,7 @@ class _Carry(NamedTuple):
 
 def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
                        max_iter: int, stop_on_nonfinite: bool = False,
-                       replace_every: int = 16):
+                       replace_every: int = 16, trace_store=None):
     """Method core, parameterized over the operator applications so the jnp
     backend, the fused Pallas kernel, and the sharded solver all share one
     implementation. Returns ``(x, iters, converged, eta)``.
@@ -107,12 +107,15 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
         return go
 
     body = functools.partial(pipelined_step, mv, apply_pinv, vdot, gamma,
-                             exit_tol, replace_every)
+                             exit_tol, replace_every,
+                             trace_store=trace_store)
 
     # pre-loop tolerance check (same deviation as the classic backends):
     # an already-converged warm start reports 0 iterations instead of
     # computing alpha = 0/0
     eta0 = vdot(r, u)
+    if trace_store is not None:
+        trace_store(jnp.int32(0), eta0)
     init = _Carry(lam0, r, u, w, zeros, zeros, zeros, zeros,
                   eta0, jnp.ones_like(eta0) * one,
                   jnp.zeros((), jnp.int32),
@@ -122,11 +125,18 @@ def pipelined_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
 
 
 def pipelined_step(mv, apply_pinv, vdot, gamma, exit_tol, replace_every,
-                   c: _Carry) -> _Carry:
+                   c: _Carry, trace_store=None) -> _Carry:
     """One pipelined iteration (the while-loop body), exposed so the
     diagnostics scan (tpcg/utils/diagnostics.py) runs the SAME recurrence
-    the solver does — single source of truth, like classic_pcg_step."""
+    the solver does — single source of truth, like classic_pcg_step.
+
+    ``trace_store(idx, eta)``: optional side-effect hook (a Pallas SMEM
+    store in the fused kernel's debug_eta mode) recording the pass's exit
+    quantity; index ``c.iters + 1`` matches the diagnostics convention
+    (slot 0 is the pre-loop eta)."""
     eta = vdot(c.r, c.u)
+    if trace_store is not None:
+        trace_store(c.iters + jnp.int32(1), eta)
     delta = vdot(c.w, c.u)          # both dots at one sync point
     m = apply_pinv(c.w)
     nn = mv(m)

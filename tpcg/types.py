@@ -31,7 +31,8 @@ DEFAULT_MAX_PCG_ITER = 25
 DEFAULT_EPSILON = 1e-6
 
 #: Valid preconditioner kinds for :class:`PCGConfig`.
-PRECONDITIONER_KINDS = ("identity", "block_jacobi", "symmetric_stair", "explicit")
+PRECONDITIONER_KINDS = ("identity", "block_jacobi", "symmetric_stair",
+                        "stair_refined", "explicit")
 
 
 @jax.tree_util.register_dataclass
@@ -163,6 +164,46 @@ class BlockTridiag(NamedTuple):
         from tpcg import layout  # local import to avoid cycle
 
         return layout.cbtd_to_dense(self.blocks)
+
+
+class BlockBanded(NamedTuple):
+    """Compressed block-BANDED matrix — the width generalization of
+    :class:`BlockTridiag` used by materialized strengthened preconditioners
+    (tpcg.precond.stair_refined; tpcg/ops/banded.py).
+
+    ``pages`` has shape ``(..., knot_points, D, n, n)`` with ``D = 2*band+1``
+    odd; page ``d`` holds the dense block ``A[k, k + d - band]``. ``band=1``
+    is layout-identical to ``BlockTridiag.blocks``. Out-of-chain slots are
+    zero (the banded generalization of the reference's zero-padded cbtd
+    slots, examples/pcg_solve.cu:14-22).
+    """
+
+    pages: jax.Array
+
+    @property
+    def blocks(self) -> jax.Array:  # uniform access alongside BlockTridiag
+        return self.pages
+
+    @property
+    def band(self) -> int:
+        return (self.pages.shape[-3] - 1) // 2
+
+    @property
+    def knot_points(self) -> int:
+        return self.pages.shape[-4]
+
+    @property
+    def state_size(self) -> int:
+        return self.pages.shape[-1]
+
+    @property
+    def dtype(self):
+        return self.pages.dtype
+
+    def dense(self) -> jax.Array:
+        from tpcg.ops.banded import banded_to_dense
+
+        return banded_to_dense(self.pages)
 
 
 def check_system(S: BlockTridiag, gamma: jax.Array, lam: jax.Array) -> None:

@@ -109,16 +109,24 @@ def _eta_scan(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
 
 
 def eta_history(S, gamma, lam0=None, *, config: Optional[PCGConfig] = None,
-                Pinv=None):
+                Pinv=None, backend: str = "jnp"):
     """Run a solve and return ``(lam, etas)`` where ``etas`` has shape
     ``(max_iter + 1,)``: ``etas[0]`` is the pre-loop eta (the quantity the
     0-iteration fast path checks) and ``etas[k]`` is eta after iteration k
     (flat after the solver's exit point). Single-system inputs only —
     ``(K, 3, n, n)`` / ``(K, n)`` — validated like ``pcg_solve`` (a batched
     input would silently couple systems through the joint reductions).
-    Runs ``config.method`` (classic or pipelined — the pipelined curve is
-    its own exit quantity and trails classic by one pass by construction)
-    on the jnp backend regardless of platform."""
+
+    ``backend="jnp"`` (default): a fixed-length scan over the SAME step
+    functions the jnp solver runs — platform-independent semantics, but
+    not the fused kernel's reduction order. ``backend="pallas"``: the
+    PRODUCTION fused kernel with its debug_eta trace (one SMEM store per
+    pass, tpcg/ops/fused_pcg.py) — the curve records the kernel's actual
+    on-chip arithmetic, for forensics on anomalies the jnp scan cannot
+    reproduce. Supports classic/pipelined/fixed methods.
+
+    The pipelined curve is its own exit quantity and trails classic by one
+    pass by construction (tpcg/solver/pipelined.py)."""
     from tpcg import precond
     from tpcg.solver.api import _as_bt
 
@@ -133,6 +141,32 @@ def eta_history(S, gamma, lam0=None, *, config: Optional[PCGConfig] = None,
     if Pinv is not None:
         Pinv = _as_bt(Pinv)
     identity = config.preconditioner == "identity" and Pinv is None
+
+    if backend == "pallas":
+        from tpcg.solver import pallas_backend
+        in_kernel = (Pinv is None and
+                     config.preconditioner in ("block_jacobi",
+                                               "symmetric_stair"))
+        pinv_blocks = (None if (identity or in_kernel)
+                       else precond.materialize(S, config, Pinv).blocks)
+        refine = (0 if config.preconditioner == "stair_refined"
+                  else config.precond_refine)
+        res, etas = pallas_backend.pcg_pallas(
+            S.blocks, pinv_blocks, gamma, lam0,
+            exit_tol=config.exit_tol, max_iter=config.max_iter,
+            precond=config.preconditioner if in_kernel else None,
+            stop_on_nonfinite=config.stop_on_nonfinite,
+            method=config.method, precond_refine=refine,
+            debug_eta=True,
+            interpret=jax.default_backend() != "tpu")
+        return res.lam, etas
+    if backend != "jnp":
+        raise ValueError(f"backend must be 'jnp' or 'pallas', got "
+                         f"{backend!r}")
+    if config.method == "fixed":
+        raise ValueError("the jnp eta_history scans classic/pipelined; for "
+                         "method='fixed' use backend='pallas' (the kernel "
+                         "traces its fori passes directly)")
     pblocks = (S.blocks if identity
                else precond.materialize(S, config, Pinv).blocks)
     scan = (_eta_scan_pipelined if config.method == "pipelined"

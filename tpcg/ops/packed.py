@@ -69,6 +69,25 @@ def _seg_shift_up(x, n, PK, K):
                      jnp.zeros_like(shifted), shifted)
 
 
+def _seg_shift(x, n, PK, K, s: int):
+    """Distance-``s`` in-segment shift: ``y[:, l] = x[:, l + s]`` when both
+    lanes lie in the same K-lane segment, 0 otherwise — the banded
+    generalization of ``_seg_shift_down``/``_seg_shift_up`` (matching
+    tpcg/ops/banded.py ``_lane_shift`` with period-K boundaries)."""
+    if s == 0:
+        return x
+    if abs(s) >= K:
+        return jnp.zeros_like(x)
+    shifted = jnp.roll(x, -s, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, PK), 1)
+    lmod = lane % jnp.int32(K)
+    if s > 0:
+        keep = lmod < jnp.int32(K - s)
+    else:
+        keep = lmod >= jnp.int32(-s)
+    return jnp.where(keep, shifted, jnp.zeros_like(shifted))
+
+
 def _bdmv_packed(S, x, n, PK, K):
     """Lane-major bdmv with period-K halo boundaries (tpcg/ops/bdmv.py
     bdmv_lane_major, segment-masked). ``S`` may be a loaded value or a VMEM
@@ -78,6 +97,19 @@ def _bdmv_packed(S, x, n, PK, K):
     acc = jnp.zeros((n, PK), x.dtype)
     for d in range(3):
         acc = acc + jnp.sum(S[d] * xs[d][:, None, :], axis=0)
+    return acc
+
+
+def _banded_mv_packed(P_lm, x, n, PK, K):
+    """Width-D banded SpMV with period-K boundaries — the packed analog of
+    tpcg/ops/banded.py ``banded_mv_lane_major`` for banded explicit
+    preconditioners (stair_refined) in the lane-packed kernel."""
+    D = P_lm.shape[0]
+    b = (D - 1) // 2
+    acc = jnp.zeros((n, PK), x.dtype)
+    for d in range(D):
+        xs = _seg_shift(x, n, PK, K, d - b)
+        acc = acc + jnp.sum(P_lm[d] * xs[:, None, :], axis=0)
     return acc
 
 
@@ -152,7 +184,10 @@ def _pcg_packed_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         apply_pinv = lambda v: v
     elif precond == "explicit":
         Pinv = pinv_ref if lean else pinv_ref[...]
-        apply_pinv = lambda v: _bdmv_packed(Pinv, v, n, PK, K)
+        if pinv_ref.shape[0] == 3:
+            apply_pinv = lambda v: _bdmv_packed(Pinv, v, n, PK, K)
+        else:  # banded (stair_refined) pages
+            apply_pinv = lambda v: _banded_mv_packed(Pinv, v, n, PK, K)
     elif precond == "block_jacobi":
         Dinv_t = gj_inverse_lane_major(S[1], n, PK, unroll=not lean)
         apply_pinv = lambda v: blockdiag_mv_lane_major(Dinv_t, v, n, PK)
@@ -168,10 +203,19 @@ def _pcg_packed_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         t = jnp.sum(a * b, axis=0, keepdims=True)
         return _seg_allreduce(t, PK, K)
 
-    if method not in ("classic", "pipelined", "fixed"):
+    if method not in ("classic", "pipelined", "fixed", "fixed_pipelined"):
         raise ValueError(f"bad method {method!r}")
 
-    if method == "fixed":
+    if method == "fixed_pipelined":
+        # the shared zero-sync body is already parameterized over vdot, so
+        # the lane-replicated segmented dot drops straight in — per-system
+        # (1, PK) "scalars", no tests, no freeze masks
+        from tpcg.solver.pipelined import fixed_pipelined_body
+        lam, eta_v = fixed_pipelined_body(mv, apply_pinv, vdot_seg, gamma,
+                                          lam0, max_iter)
+        iters_v = jnp.full((1, PK), max_iter, jnp.int32)
+        conv_v = (jnp.abs(eta_v) < tol).astype(jnp.int32)
+    elif method == "fixed":
         lam, iters_v, conv_v, eta_v = _packed_fixed_loop(
             mv, apply_pinv, vdot_seg, gamma, lam0, tol, max_iter, PK)
     elif method == "pipelined":
@@ -368,11 +412,11 @@ def _packed_pipelined_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
 
 
 def _fits_vmem(state_size, pk, dtype, identity_pinv, precond, method,
-               lean=False):
+               lean=False, pinv_pages=3):
     from tpcg.utils.feasibility import _budget, packed_vmem_bytes
 
     need = packed_vmem_bytes(state_size, pk, dtype, identity_pinv,
-                             precond, method, lean)
+                             precond, method, lean, pinv_pages)
     return need <= _budget()
 
 
@@ -401,7 +445,8 @@ def _fits_vmem_stream(state_size, pk, dtype, identity_pinv, precond,
 
 def pack_width(B: int, K: int, state_size: int, dtype=jnp.float32,
                precond: str = None, identity_pinv: bool = False,
-               method: str = "classic", max_lanes: int = 2048) -> int:
+               method: str = "classic", max_lanes: int = 2048,
+               pinv_pages: int = 3) -> int:
     """Largest power-of-2 P dividing B with P*K <= max_lanes, P*K lane-tile
     aligned, and the packed working set within VMEM (with K -> P*K). The
     cap is the VMEM model, not ``max_lanes``: since the (PK, PK) segment
@@ -418,10 +463,11 @@ def pack_width(B: int, K: int, state_size: int, dtype=jnp.float32,
     while p <= B and p * K <= max_lanes:
         if B % p == 0 and (p * K) % 128 == 0:
             if _fits_vmem(state_size, p * K, dtype, identity_pinv, precond,
-                          method, lean=False):
+                          method, lean=False, pinv_pages=pinv_pages):
                 best_fast = p
             elif _fits_vmem(state_size, p * K, dtype, identity_pinv,
-                            precond, method, lean=True):
+                            precond, method, lean=True,
+                            pinv_pages=pinv_pages):
                 best_lean = p
         p *= 2
     return best_fast or best_lean or 1
@@ -429,7 +475,8 @@ def pack_width(B: int, K: int, state_size: int, dtype=jnp.float32,
 
 def plan_pack(B: int, K: int, state_size: int, dtype=jnp.float32,
               precond: str = None, identity_pinv: bool = False,
-              method: str = "classic", max_lanes: int = 2048):
+              method: str = "classic", max_lanes: int = 2048,
+              pinv_pages: int = 3):
     """Choose ``(P, K_pad, B_pad)`` for an arbitrary batch.
 
     ``K_pad >= K``: each system's chain is extended with decoupled identity
@@ -471,10 +518,12 @@ def plan_pack(B: int, K: int, state_size: int, dtype=jnp.float32,
             pk = p * K_pad
             if pk % 128 == 0:
                 if _fits_vmem(state_size, pk, dtype, identity_pinv,
-                              precond, method, lean=False):
+                              precond, method, lean=False,
+                              pinv_pages=pinv_pages):
                     cands.append((K / K_pad, 1, p, K_pad))
                 elif _fits_vmem(state_size, pk, dtype, identity_pinv,
-                                precond, method, lean=True):
+                                precond, method, lean=True,
+                                pinv_pages=pinv_pages):
                     cands.append((K / K_pad, 0, p, K_pad))
             p *= 2
     if not cands:
@@ -504,19 +553,23 @@ def pad_systems(S_blocks, Pinv_blocks, gamma, lam0, K_pad: int, B_pad: int):
     eye = (ri == ci).astype(S_blocks.dtype)[None, None, :, :]
 
     def pad_blocks(blocks):
+        # width-general (D = 3 cbtd or 2b+1 banded stair_refined pages):
+        # identity pad rows put eye on the CENTER page, zeros elsewhere
+        D = blocks.shape[-3]
+        c = D // 2
+
+        def id_rows(nb, nk):
+            pages = [jnp.broadcast_to(eye, (nb, nk, 1, n, n)) if d == c
+                     else jnp.zeros((nb, nk, 1, n, n), blocks.dtype)
+                     for d in range(D)]
+            return jnp.concatenate(pages, axis=2)
+
         if K_pad > K:
-            tail = jnp.concatenate(
-                [jnp.zeros((B, K_pad - K, 1, n, n), blocks.dtype),
-                 jnp.broadcast_to(eye, (B, K_pad - K, 1, n, n)),
-                 jnp.zeros((B, K_pad - K, 1, n, n), blocks.dtype)], axis=2)
-            blocks = jnp.concatenate([blocks, tail], axis=1)
+            blocks = jnp.concatenate([blocks, id_rows(B, K_pad - K)],
+                                     axis=1)
         if B_pad > B:
-            dummy = jnp.concatenate(
-                [jnp.zeros((B_pad - B, K_pad, 1, n, n), blocks.dtype),
-                 jnp.broadcast_to(eye, (B_pad - B, K_pad, 1, n, n)),
-                 jnp.zeros((B_pad - B, K_pad, 1, n, n), blocks.dtype)],
-                axis=2)
-            blocks = jnp.concatenate([blocks, dummy], axis=0)
+            blocks = jnp.concatenate([blocks, id_rows(B_pad - B, K_pad)],
+                                     axis=0)
         return blocks
 
     def pad_vec(v):
@@ -579,10 +632,11 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     G = B // P
     PK = P * K
 
-    def pack_mats(blocks):  # (B, K, 3, n, n) -> (G, 3, n, n, P*K)
-        lm = jax.vmap(to_lane_major)(blocks)          # (B, 3, n, n, K)
-        lm = lm.reshape(G, P, 3, n, n, K)
-        return jnp.moveaxis(lm, 1, -2).reshape(G, 3, n, n, PK)
+    def pack_mats(blocks):  # (B, K, D, n, n) -> (G, D, n, n, P*K)
+        D = blocks.shape[-3]
+        lm = jax.vmap(to_lane_major)(blocks)          # (B, D, n, n, K)
+        lm = lm.reshape(G, P, D, n, n, K)
+        return jnp.moveaxis(lm, 1, -2).reshape(G, D, n, n, PK)
 
     def pack_vecs(v):                                  # (B, K, n) -> (G, n, P*K)
         v = jnp.swapaxes(v, -1, -2).reshape(G, P, n, K)
@@ -617,7 +671,8 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     if precond == "explicit":
         kernel = functools.partial(_pcg_packed_kernel_pinv, **kw)
         P_p = pack_mats(Pinv_blocks)
-        in_specs = [smem, block((3, n, n, PK)), block((3, n, n, PK)),
+        in_specs = [smem, block((3, n, n, PK)),
+                    block((Pinv_blocks.shape[-3], n, n, PK)),
                     block((n, PK)), block((n, PK))]
         operands = (tol, S_p, P_p, gamma_p, lam0_p)
         scratch = ()

@@ -402,9 +402,25 @@ def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
 def pcg_solve_sharded(S, gamma, lam0=None, *, mesh: Mesh,
                       axis_name: str = "knot",
                       config: Optional[PCGConfig] = None,
-                      Pinv: Optional[BlockTridiag] = None) -> PCGResult:
+                      Pinv: Optional[BlockTridiag] = None,
+                      comm: str = "xla",
+                      interpret_params=None) -> PCGResult:
     """Convenience wrapper: builds the preconditioner, shards inputs over the
-    mesh, and runs the knot-sharded solve."""
+    mesh, and runs the knot-sharded solve.
+
+    ``comm`` selects the communication substrate:
+
+    * ``"xla"`` (default) — this module's shard_map solver: XLA inserts
+      ppermute/psum collectives between compiled steps. Production path.
+    * ``"rdma"`` — the persistent in-kernel RDMA kernel
+      (tpcg/parallel/rdma_knot.py): one Pallas kernel per device for the
+      whole solve, `make_async_remote_copy` halos + mailbox all-reduces.
+      Supports identity / explicit cbtd Pinv / in-kernel block_jacobi and
+      symmetric_stair construction, classic + pipelined methods. On CPU
+      meshes pass ``interpret_params`` (the distributed TPU interpreter);
+      ``stop_on_nonfinite`` / ``precond_refine`` / banded ``stair_refined``
+      are not plumbed there yet — use ``comm="xla"`` for those.
+    """
     from tpcg import precond
     from tpcg.solver.api import _as_bt
 
@@ -412,6 +428,32 @@ def pcg_solve_sharded(S, gamma, lam0=None, *, mesh: Mesh,
     gamma = jnp.asarray(gamma)
     lam0 = jnp.zeros_like(gamma) if lam0 is None else jnp.asarray(lam0)
     config = config or PCGConfig()
+    if comm not in ("xla", "rdma"):
+        raise ValueError(f"comm must be 'xla' or 'rdma', got {comm!r}")
+
+    if comm == "rdma":
+        from tpcg.parallel.rdma_knot import pcg_rdma_sharded
+
+        if config.stop_on_nonfinite or config.precond_refine:
+            raise ValueError("comm='rdma' has no stop_on_nonfinite/"
+                             "precond_refine plumbing; use comm='xla'")
+        in_kernel = (Pinv is None and
+                     config.preconditioner in ("block_jacobi",
+                                               "symmetric_stair"))
+        identity = config.preconditioner == "identity" and Pinv is None
+        pinv_blocks = None
+        if not identity and not in_kernel:
+            pinv_blocks = precond.materialize(S, config, Pinv).blocks
+        sharding = NamedSharding(mesh, P(axis_name))
+        put = lambda a: (a if a is None
+                         else jax.device_put(a, sharding))
+        return pcg_rdma_sharded(
+            put(S.blocks), put(pinv_blocks), put(gamma), put(lam0),
+            mesh=mesh, axis_name=axis_name, exit_tol=config.exit_tol,
+            max_iter=config.max_iter, method=config.method,
+            precond=config.preconditioner if in_kernel else None,
+            interpret_params=interpret_params)
+
     identity = config.preconditioner == "identity" and Pinv is None
     pinv_blocks = None
     if not identity:

@@ -62,7 +62,8 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
             mbA, mbB, part_buf,
             hsend_l, hsend_r, hrecvA_l, hrecvA_r, hrecvB_l, hrecvB_r,
             mb_send, mbA_recv, mbB_recv,
-            *, n, Kd, D, max_iter, axis_name, method="classic"):
+            *, n, Kd, D, max_iter, axis_name, method="classic",
+            precond="explicit", mb_rows=8):
     my = jax.lax.axis_index(axis_name)
     left = jax.lax.rem(my - 1 + D, jnp.int32(D))
     right = jax.lax.rem(my + 1, jnp.int32(D))
@@ -132,9 +133,9 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
             c.wait()
         # 2D masked reduce (rank-1 vector values SIGABRT Mosaic; col 0
         # holds the payload, rows >= D are never written)
-        mask = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (mb_rows, 128), 0)
                 < jnp.int32(D)) & \
-               (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+               (jax.lax.broadcasted_iota(jnp.int32, (mb_rows, 128), 1)
                 == jnp.int32(0))
         return jnp.sum(jnp.where(mask, mb[...], 0.0))
 
@@ -155,7 +156,7 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
             copies.append(c)
         for c in copies:
             c.wait()
-        rowmask = (jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        rowmask = (jax.lax.broadcasted_iota(jnp.int32, (mb_rows, 128), 0)
                    < jnp.int32(D))
         sums = jnp.sum(jnp.where(rowmask, mb[...], 0.0), axis=0,
                        keepdims=True)                       # (1, 128)
@@ -164,7 +165,6 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
     barrier()  # no remote DMA before every device finished setup
 
     S = S_ref[...]
-    Pinv = pinv_ref[...]
     gamma = gamma_ref[...]
     lam0 = lam0_ref[...]
     tol = tol_ref[0]
@@ -172,6 +172,69 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
 
     ex_A = lambda v: halo_exchange(v, recvA_l, recvA_r, hrecvA_l, hrecvA_r)
     ex_B = lambda v: halo_exchange(v, recvB_l, recvB_r, hrecvB_l, hrecvB_r)
+
+    class _ExAlt:
+        """Trace-time strict A/B alternation of the halo buffer sets.
+
+        The reuse-safety invariant (module docstring) needs consecutive
+        exchanges to use different buffers OR an intervening all-device
+        round. Assigning buffers by alternation AT TRACE TIME keeps that
+        true for every precond strategy, including the ones that elide
+        apply-site exchanges entirely (identity / block_jacobi) — the
+        remaining iteration-boundary same-buffer reuses are gated by the
+        mailbox rounds every loop body contains. For precond='explicit'
+        this reproduces the round-2 assignment exactly (init lam0[A],
+        r[B], u[A]; loop w[B], m[A]; replacement x[B], r[A], u[B], p[A],
+        s[B], q[A])."""
+
+        def __init__(self):
+            self._use_A = True
+
+        def __call__(self, v):
+            use_A = self._use_A
+            self._use_A = not use_A
+            return (ex_A if use_A else ex_B)(v)
+
+    exx = _ExAlt()
+
+    # --- preconditioner strategies (VERDICT r2 item 2: parity with the
+    # single-chip kernel, which serves explicit/identity AND constructs
+    # block_jacobi/symmetric_stair in-kernel) ---------------------------
+    # * identity: no apply, no comm;
+    # * explicit: cbtd bdmv with one halo exchange of v (the round-2 path);
+    # * block_jacobi: Dinv built in-kernel (gj_inverse is pure-local —
+    #   block-diagonal inversion needs no neighbor data), apply is local;
+    # * symmetric_stair: Dinv in-kernel + the FACTORED apply
+    #   (tpcg/ops/smallinv.py apply_symmetric_stair_factored) — only the
+    #   intermediate w = Dinv v crosses shard edges, so each apply costs
+    #   exactly one halo exchange, same comm count as explicit.
+    # ``ex`` names the halo buffer set each call site may use; identity
+    # and block_jacobi simply don't use it (their reuse safety comes from
+    # the gating mailbox rounds between the remaining exchanges).
+    if precond == "explicit":
+        Pinv = pinv_ref[...]
+    elif precond in ("block_jacobi", "symmetric_stair"):
+        from tpcg.ops.smallinv import (blockdiag_mv_lane_major,
+                                       gj_inverse_lane_major)
+        Dinv_t = gj_inverse_lane_major(S[1], n, Kd, unroll=True)
+
+    def apply_pinv(v, ex):
+        if precond == "identity":
+            return v
+        if precond == "explicit":
+            hl, hr = ex(v)
+            return bdmv(Pinv, v, hl, hr)
+        if precond == "block_jacobi":
+            return blockdiag_mv_lane_major(Dinv_t, v, n, Kd)
+        # symmetric_stair: chain-end zeros of the single-chip factored
+        # apply become the RDMA halo columns (masked at the global ends)
+        w = blockdiag_mv_lane_major(Dinv_t, v, n, Kd)
+        hl, hr = ex(w)
+        w_dn = jnp.concatenate([hl, w[:, :-1]], axis=1)
+        w_up = jnp.concatenate([w[:, 1:], hr], axis=1)
+        t = v - (jnp.sum(S[0] * w_dn[:, None, :], axis=0) +
+                 jnp.sum(S[2] * w_up[:, None, :], axis=0))
+        return blockdiag_mv_lane_major(Dinv_t, t, n, Kd)
 
     if method == "pipelined":
         # Ghysels-Vanroose recurrences (tpcg/solver/pipelined.py): both
@@ -182,11 +245,10 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         # iteration w[B], m[A]; replacement x[B], r[A], u[B], p[A], s[B],
         # q[A] — every same-buffer reuse has the consuming compute and a
         # gating round between (see allreduce's note).
-        hl, hr = ex_A(lam0)
+        hl, hr = exx(lam0)
         r = gamma - bdmv(S, lam0, hl, hr)
-        hl, hr = ex_B(r)
-        u = bdmv(Pinv, r, hl, hr)
-        hl, hr = ex_A(u)
+        u = apply_pinv(r, exx)
+        hl, hr = exx(u)
         w = bdmv(S, u, hl, hr)
         eta0, _ = allreduce2(vdot(r, u), jnp.zeros((), gamma.dtype),
                              mbA, mbA_recv)
@@ -209,9 +271,8 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                 lambda _: allreduce2(ep, dp, mbB, mbB_recv),
                 lambda _: allreduce2(ep, dp, mbA, mbA_recv),
                 None)
-            hl, hr = ex_B(w)
-            m = bdmv(Pinv, w, hl, hr)
-            hl, hr = ex_A(m)
+            m = apply_pinv(w, exx)
+            hl, hr = exx(m)
             nn = bdmv(S, m, hl, hr)
             frst = iters == 0
             beta = jnp.where(frst, jnp.zeros_like(eta), eta / eta_prev)
@@ -228,17 +289,15 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
 
             def replace(args):
                 x, p, r, u, w, s, q, z = args
-                hl, hr = ex_B(x)
+                hl, hr = exx(x)
                 r = gamma - bdmv(S, x, hl, hr)
-                hl, hr = ex_A(r)
-                u = bdmv(Pinv, r, hl, hr)
-                hl, hr = ex_B(u)
+                u = apply_pinv(r, exx)
+                hl, hr = exx(u)
                 w = bdmv(S, u, hl, hr)
-                hl, hr = ex_A(p)
+                hl, hr = exx(p)
                 s = bdmv(S, p, hl, hr)
-                hl, hr = ex_B(s)
-                q = bdmv(Pinv, s, hl, hr)
-                hl, hr = ex_A(q)
+                q = apply_pinv(s, exx)
+                hl, hr = exx(q)
                 z = bdmv(S, q, hl, hr)
                 return (x, p, r, u, w, s, q, z)
 
@@ -269,12 +328,11 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         barrier()
         return
 
-    # --- init (pcg.cuh:118-149): r, r_tilde, p, eta — halo A for lam0,
-    # halo B for r, eta through mailbox A ---
-    hl, hr = halo_exchange(lam0, recvA_l, recvA_r, hrecvA_l, hrecvA_r)
+    # --- init (pcg.cuh:118-149): r, r_tilde, p, eta — halos by the
+    # trace-time A/B alternation, eta through mailbox A ---
+    hl, hr = exx(lam0)
     r = gamma - bdmv(S, lam0, hl, hr)
-    hl, hr = halo_exchange(r, recvB_l, recvB_r, hrecvB_l, hrecvB_r)
-    rt = bdmv(Pinv, r, hl, hr)
+    rt = apply_pinv(r, exx)
     p = rt
     eta = allreduce(vdot(r, rt), mbA, mbA_recv)
 
@@ -285,9 +343,9 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
 
     def body(c):
         lam, r, p, eta, iters, _ = c
-        # halo A: p (reusable — every device passed the previous
-        # iteration's mailbox rounds, so its prior content is consumed)
-        hl, hr = halo_exchange(p, recvA_l, recvA_r, hrecvA_l, hrecvA_r)
+        # p's halo buffer is reusable — every device passed the previous
+        # iteration's mailbox rounds, so its prior content is consumed
+        hl, hr = exx(p)
         ups = bdmv(S, p, hl, hr)
         # mailbox rounds alternate A (init eta), B, A, B... — see
         # allreduce's reuse-safety note
@@ -295,8 +353,7 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         alpha = eta / denom
         lam = lam + alpha * p                            # pcg.cuh:172-176
         r = r - alpha * ups
-        hl, hr = halo_exchange(r, recvB_l, recvB_r, hrecvB_l, hrecvB_r)
-        rt = bdmv(Pinv, r, hl, hr)                       # pcg.cuh:181-184
+        rt = apply_pinv(r, exx)                          # pcg.cuh:181-184
         eta_new = allreduce(vdot(r, rt), mbA, mbA_recv)  # pcg.cuh:187-193
         converged = jnp.abs(eta_new) < tol               # pcg.cuh:195
         beta = eta_new / eta
@@ -314,14 +371,31 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
     barrier()  # no teardown while a neighbor's DMA may still read my bufs
 
 
+def _kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref, *rest, **kw):
+    """Signature without the Pinv operand (identity / in-kernel-build
+    preconditioners) — same rationale as the fused kernel's nopinv shim
+    (tpcg/ops/fused_pcg.py): a placeholder operand would DMA a full extra
+    S into VMEM the kernel never reads."""
+    _kernel(tol_ref, S_ref, None, gamma_ref, lam0_ref, *rest, **kw)
+
+
 def pcg_rdma_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
                      axis_name: str = "knot", exit_tol, max_iter: int,
-                     method: str = "classic",
+                     method: str = "classic", precond: str = None,
                      interpret_params=None) -> PCGResult:
     """Knot-sharded PCG solve through the persistent RDMA kernel.
 
     Canonical layouts in: ``S_blocks``/``Pinv_blocks`` ``(K, 3, n, n)``,
     vectors ``(K, n)``; ``K`` must divide evenly over the mesh axis.
+
+    ``precond``: ``None`` infers explicit/identity from ``Pinv_blocks``;
+    ``"block_jacobi"`` / ``"symmetric_stair"`` CONSTRUCT Phi^-1 inside the
+    kernel from S (``Pinv_blocks`` must be None) — feature parity with the
+    single-chip fused kernel (the reference kernel is preconditioner-
+    agnostic, pcg.cuh:56-57; its consumer builds Phi^-1 in separate
+    kernels — here build + solve + communication is one persistent kernel
+    per chip).
+
     ``interpret_params``: a ``pltpu.InterpretParams`` to run under the
     distributed TPU interpreter (required on CPU meshes; pass
     ``detect_races=True`` to run the happens-before race detector over
@@ -334,27 +408,49 @@ def pcg_rdma_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
     if K % D != 0:
         raise ValueError(f"knot_points={K} must divide over the "
                          f"{D}-device '{axis_name}' mesh axis")
-    if D > 8:
-        raise ValueError("the (8, 128) mailbox supports up to 8 devices; "
-                         "widen it for larger meshes")
+    if D > 128:
+        raise ValueError("the mailbox holds one row per device and its "
+                         "payload rides 128 lanes; meshes beyond 128 "
+                         "devices need a hierarchical reduce")
+    if precond is None:
+        precond = "identity" if Pinv_blocks is None else "explicit"
+    if precond != "explicit" and Pinv_blocks is not None:
+        raise ValueError(f"Pinv_blocks must be None with precond="
+                         f"{precond!r}")
+    if precond not in ("explicit", "identity", "block_jacobi",
+                       "symmetric_stair"):
+        raise ValueError(f"bad precond {precond!r} (banded stair_refined "
+                         "pages are single-chip only for now)")
+    if precond == "explicit" and Pinv_blocks.shape[-3] != 3:
+        raise ValueError("the RDMA kernel's explicit path is cbtd-only "
+                         "(radius-1 halos); banded stair_refined Pinv is "
+                         "single-chip only for now")
     if method not in ("classic", "pipelined"):
         raise ValueError(f"method must be 'classic' or 'pipelined', got "
                          f"{method!r}")
     Kd = K // D
+    mb_rows = max(8, -(-D // 8) * 8)  # sublane-tile-aligned, >= D rows
     dtype = S_blocks.dtype
     tol = jnp.asarray([exit_tol], dtype)
 
-    kern = functools.partial(_kernel, n=n, Kd=Kd, D=D, max_iter=max_iter,
-                             axis_name=axis_name, method=method)
+    kern_fn = _kernel if precond == "explicit" else _kernel_nopinv
+    kern = functools.partial(kern_fn, n=n, Kd=Kd, D=D, max_iter=max_iter,
+                             axis_name=axis_name, method=method,
+                             precond=precond, mb_rows=mb_rows)
 
     def per_device(S_sh, P_sh, g_sh, l_sh):
         S_lm = to_lane_major(S_sh)          # (3, n, n, Kd)
-        P_lm = to_lane_major(P_sh)
         g_lm = jnp.swapaxes(g_sh, -1, -2)   # (n, Kd)
         l_lm = jnp.swapaxes(l_sh, -1, -2)
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         col = pltpu.VMEM((n, 1), dtype)
+        if P_sh is None:
+            in_specs = [smem, vmem, vmem, vmem]
+            operands = (tol, S_lm, g_lm, l_lm)
+        else:
+            in_specs = [smem, vmem, vmem, vmem, vmem]
+            operands = (tol, S_lm, to_lane_major(P_sh), g_lm, l_lm)
         lam_lm, iters, conv, eta = pl.pallas_call(
             kern,
             out_shape=(
@@ -363,13 +459,13 @@ def pcg_rdma_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
                 jax.ShapeDtypeStruct((1,), jnp.int32),
                 jax.ShapeDtypeStruct((1,), dtype),
             ),
-            in_specs=[smem, vmem, vmem, vmem, vmem],
+            in_specs=in_specs,
             out_specs=(vmem, smem, smem, smem),
             scratch_shapes=[
                 col, col,                      # send_l, send_r
                 col, col, col, col,            # recvA/B halo buffers
-                pltpu.VMEM((8, 128), dtype),   # mailbox A
-                pltpu.VMEM((8, 128), dtype),   # mailbox B
+                pltpu.VMEM((mb_rows, 128), dtype),   # mailbox A
+                pltpu.VMEM((mb_rows, 128), dtype),   # mailbox B
                 pltpu.VMEM((1, 128), dtype),   # partial broadcast buffer
                 pltpu.SemaphoreType.DMA,       # hsend_l
                 pltpu.SemaphoreType.DMA,       # hsend_r
@@ -384,14 +480,24 @@ def pcg_rdma_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
             compiler_params=pltpu.CompilerParams(collective_id=0),
             interpret=(interpret_params if interpret_params is not None
                        else False),
-        )(tol, S_lm, P_lm, g_lm, l_lm)
+        )(*operands)
         return jnp.swapaxes(lam_lm, -1, -2), iters, conv, eta
 
-    shard = jax.shard_map(
-        per_device, mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(axis_name), P(), P(), P()),
-        check_vma=False)
-    lam, iters, conv, eta = shard(S_blocks, Pinv_blocks, gamma, lam0)
+    if Pinv_blocks is None:
+        shard = jax.shard_map(
+            lambda S_sh, g_sh, l_sh: per_device(S_sh, None, g_sh, l_sh),
+            mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=(P(axis_name), P(), P(), P()),
+            check_vma=False)
+        lam, iters, conv, eta = shard(S_blocks, gamma, lam0)
+    else:
+        shard = jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name), P(axis_name),
+                      P(axis_name)),
+            out_specs=(P(axis_name), P(), P(), P()),
+            check_vma=False)
+        lam, iters, conv, eta = shard(S_blocks, Pinv_blocks, gamma, lam0)
     return PCGResult(lam=lam, iters=iters[0], converged=conv[0] != 0,
                      eta=eta[0])

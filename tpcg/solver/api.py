@@ -53,6 +53,9 @@ def _jnp_solver(method: str):
     if method == "pipelined":
         from tpcg.solver.pipelined import pcg_pipelined_jnp
         return pcg_pipelined_jnp
+    if method == "fixed_pipelined":
+        from tpcg.solver.pipelined import pcg_fixed_pipelined_jnp
+        return pcg_fixed_pipelined_jnp
     if method == "fixed":
         return jnp_backend.pcg_fixed_jnp
     return jnp_backend.pcg_jnp
@@ -64,11 +67,13 @@ def _check_fixed_guard(config: PCGConfig) -> None:
     divergence guard cannot act mid-solve; reject the combination instead
     of silently ignoring the flag (a nonfinite solve still reports
     ``converged=False`` from the post-hoc |eta| < tol verification)."""
-    if config.method == "fixed" and config.stop_on_nonfinite:
+    if config.method in ("fixed", "fixed_pipelined") \
+            and config.stop_on_nonfinite:
         raise ValueError(
-            "method='fixed' has no per-iteration tests by design, so "
-            "stop_on_nonfinite cannot act; drop the flag (divergence still "
-            "surfaces as converged=False / nonfinite eta in the result)")
+            f"method={config.method!r} has no per-iteration tests by "
+            "design, so stop_on_nonfinite cannot act; drop the flag "
+            "(divergence still surfaces as converged=False / nonfinite "
+            "eta in the result)")
 
 
 def _pick_backend(backend: str, dtype) -> str:
@@ -248,10 +253,10 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
     if lam0.shape != gamma.shape:
         raise ValueError(f"lam0 shape {lam0.shape} != gamma {gamma.shape}")
 
-    if config.method == "fixed":
+    if config.method in ("fixed", "fixed_pipelined"):
         raise ValueError("pcg_solve_multirhs supports classic/pipelined/"
-                         "block; the fixed-budget mode is single-system "
-                         "(pcg_solve) only for now")
+                         "block; the fixed-budget modes are single-system "
+                         "(pcg_solve) / batched (pcg_solve_batched) only")
     if config.method == "block":
         if config.stop_on_nonfinite:
             raise ValueError("method='block' has no stop_on_nonfinite "

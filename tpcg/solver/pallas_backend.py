@@ -83,15 +83,13 @@ def pcg_pallas_batched(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
 
     B, K = gamma.shape[0], gamma.shape[1]
     n = gamma.shape[2]
-    plan = None
-    if Pinv_blocks is None or Pinv_blocks.shape[-3] == 3:
-        # (the packed kernel's explicit path is cbtd-only; a banded
-        # stair_refined Pinv routes through the grid-batched kernel)
-        plan = plan_pack(B, K, n, S_blocks.dtype,
-                         precond=precond,
-                         identity_pinv=Pinv_blocks is None and
-                         precond in (None, "identity"),
-                         method=method)
+    plan = plan_pack(B, K, n, S_blocks.dtype,
+                     precond=precond,
+                     identity_pinv=Pinv_blocks is None and
+                     precond in (None, "identity"),
+                     method=method,
+                     pinv_pages=3 if Pinv_blocks is None
+                     else Pinv_blocks.shape[-3])
     if plan is not None and plan[0] == 1 and K % 128 == 0:
         plan = None  # no amortization to gain; the grid kernel is leaner
     if plan is not None:

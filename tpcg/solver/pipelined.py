@@ -189,6 +189,102 @@ def pipelined_step(mv, apply_pinv, vdot, gamma, exit_tol, replace_every,
                   c.iters + 1, converged)
 
 
+def fixed_pipelined_body(mv, apply_pinv, vdot, gamma, lam0, max_iter: int,
+                         trace_store=None):
+    """Fixed-budget pipelined recurrence: exactly ``max_iter`` passes of
+    the Ghysels-Vanroose iteration with NO per-pass tests of any kind —
+    no exit reduce, no residual-replacement branch. Combined with
+    (1,1)-shaped ``vdot`` in the fused kernel this removes every
+    vector->scalar round trip from the loop: the bounded-latency mode
+    (method="fixed") built on the one-sync-point recurrence instead of the
+    classic two-chain one (round-2 measured the classic-form fixed loop
+    SLOWER than adaptive pipelined because the two dependent dot chains,
+    not the exit test, are the floor — this is the other half of that
+    experiment).
+
+    The +tiny denominators park converged/degenerate systems at alpha=0
+    (r=0 -> eta=delta=0); ``alpha_prev`` substitutes 1 when alpha was
+    parked so the ``beta*eta/alpha_prev`` term stays 0 instead of NaN.
+    No residual replacement: fp32 recurrence drift over a fixed budget is
+    bounded by the budget itself, and the post-hoc convergence check
+    (|eta| < tol on the final iterates' true dot) is the contract.
+
+    Returns ``(x, eta_final)`` with ``eta_final = (r, Pinv r)`` of the
+    final iterates — the same verification quantity the classic fixed
+    mode reports."""
+    tiny = jnp.asarray(1e-30, gamma.dtype)
+    r = gamma - mv(lam0)
+    u = apply_pinv(r)
+    w = mv(u)
+    zeros = jnp.zeros_like(r)
+    eta0 = vdot(r, u)
+    if trace_store is not None:
+        trace_store(jnp.int32(0), eta0)
+
+    def fbody(i, c):
+        x, r, u, w, z, q, s, p, eta_prev, alpha_prev = c
+        eta = vdot(r, u)
+        delta = vdot(w, u)
+        m = apply_pinv(w)
+        nn = mv(m)
+        first = i == jnp.int32(0)
+        beta = jnp.where(first, jnp.zeros_like(eta),
+                         eta / (eta_prev + tiny))
+        alpha = jnp.where(
+            first, eta / (delta + tiny),
+            eta / (delta - beta * eta / alpha_prev + tiny))
+        if trace_store is not None:
+            trace_store(i + jnp.int32(1), eta)
+        z = nn + beta * z
+        q = m + beta * q
+        s = w + beta * s
+        p = u + beta * p
+        x = x + alpha * p
+        r = r - alpha * s
+        u = u - alpha * q
+        w = w - alpha * z
+        alpha_prev = jnp.where(jnp.abs(alpha) > 0, alpha,
+                               jnp.ones_like(alpha))
+        return (x, r, u, w, z, q, s, p, eta, alpha_prev)
+
+    init = (lam0, r, u, w, zeros, zeros, zeros, zeros, eta0,
+            jnp.ones_like(eta0))
+    out = jax.lax.fori_loop(0, max_iter, fbody, init)
+    x, r, u = out[0], out[1], out[2]
+    return x, vdot(r, u)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
+                                             "stop_on_nonfinite",
+                                             "precond_refine"))
+def pcg_fixed_pipelined_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
+                            max_iter: int, identity_pinv: bool = False,
+                            stop_on_nonfinite: bool = False,
+                            precond_refine: int = 0) -> PCGResult:
+    """Fixed-budget pipelined oracle (``PCGConfig.method=
+    'fixed_pipelined'``): the jnp mirror of the fused kernel's zero-sync
+    pipelined mode. ``iters`` reports the budget; ``converged`` whether
+    the final eta met ``exit_tol``. ``stop_on_nonfinite`` accepted for
+    signature parity only (no early exit exists in this mode)."""
+    del stop_on_nonfinite
+    exit_tol = jnp.asarray(exit_tol, dtype=gamma.dtype)
+    mv = lambda v: bdmv(S_blocks, v)
+
+    def apply_pinv(v):
+        if identity_pinv:
+            return v
+        z = bdmv(Pinv_blocks, v)
+        for _ in range(precond_refine):
+            z = z + bdmv(Pinv_blocks, v - mv(z))
+        return z
+
+    vdot = lambda a, b: jnp.sum(a * b)
+    x, eta = fixed_pipelined_body(mv, apply_pinv, vdot, gamma, lam0,
+                                  max_iter)
+    return PCGResult(lam=x, iters=jnp.asarray(max_iter, jnp.int32),
+                     converged=jnp.abs(eta) < exit_tol, eta=eta)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
                                              "stop_on_nonfinite",
                                              "precond_refine"))

@@ -73,6 +73,9 @@ class PCGConfig:
     #: "fixed" = exactly max_iter passes with NO per-iteration exit test
     #: (zero scalar sync points in the loop — the bounded-latency real-time
     #: MPC mode; ``converged`` reports whether the final eta met exit_tol).
+    #: "fixed_pipelined" = the same bounded-latency contract on the
+    #: pipelined (one-sync-point) recurrence — the fastest fixed-budget
+    #: form on chip (tpcg/solver/pipelined.py fixed_pipelined_body).
     #: "block" = block-PCG sharing one Krylov space across right-hand sides
     #: (tpcg/solver/blockcg.py) — multi-RHS entry point only.
     method: str = dataclasses.field(default="classic",
@@ -94,9 +97,11 @@ class PCGConfig:
                 f"got {self.preconditioner!r}")
         if int(self.max_iter) < 1:
             raise ValueError(f"max_iter must be >= 1, got {self.max_iter}")
-        if self.method not in ("classic", "pipelined", "fixed", "block"):
+        if self.method not in ("classic", "pipelined", "fixed",
+                               "fixed_pipelined", "block"):
             raise ValueError(f"method must be 'classic', 'pipelined', "
-                             f"'fixed' or 'block', got {self.method!r}")
+                             f"'fixed', 'fixed_pipelined' or 'block', got "
+                             f"{self.method!r}")
         if int(self.precond_refine) < 0:
             raise ValueError(f"precond_refine must be >= 0, "
                              f"got {self.precond_refine}")

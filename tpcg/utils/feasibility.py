@@ -147,15 +147,16 @@ def fused_vmem_bytes(state_size: int, knot_points: int, dtype=jnp.float32,
         base = 1.44 if lean else 1.91
         mat_bytes += (factor - base) * S_bytes * (pinv_pages - 3) / 3
     # classic carry: lam/r/p + gamma/lam0/out + rt/ups/shift temps ~ 10
-    # pages; pipelined carries x/r/u/w/z/q/s/p + m/nn temps ~ 14
-    pages = 14 if method == "pipelined" else 10
+    # pages; pipelined/fixed_pipelined carry x/r/u/w/z/q/s/p + m/nn ~ 14
+    pages = 14 if "pipelined" in method else 10
     vec_bytes = pages * rhs * n_pad * K_pad * itemsize
     return int(mat_bytes) + vec_bytes
 
 
 def packed_vmem_bytes(state_size: int, pack_lanes: int, dtype=jnp.float32,
                       identity_pinv: bool = False, precond: str = None,
-                      method: str = "classic", lean: bool = False) -> int:
+                      method: str = "classic", lean: bool = False,
+                      pinv_pages: int = 3) -> int:
     """VMEM model for the lane-packed batched kernel (tpcg/ops/packed.py):
     the fused model at K -> P*K, plus the grid pipeline's buffering
     overhead — the next grid step's S (and Pinv, and the vector blocks)
@@ -176,10 +177,11 @@ def packed_vmem_bytes(state_size: int, pack_lanes: int, dtype=jnp.float32,
     pk_pad = -(-pk // 128) * 128
     S_bytes = 3 * n * n_pad * pk_pad * itemsize
     explicit = (precond in (None, "explicit")) and not identity_pinv
-    bufs = int(1.75 * S_bytes) * (2 if explicit else 1) \
-        + 3 * n_pad * pk_pad * itemsize
+    bufs = int(1.75 * S_bytes) + 3 * n_pad * pk_pad * itemsize
+    if explicit:  # second matrix operand window, scaled by its page count
+        bufs += int(1.75 * S_bytes * pinv_pages / 3)
     return fused_vmem_bytes(state_size, pk, dtype, identity_pinv, precond,
-                            1, method, lean) + bufs
+                            1, method, lean, pinv_pages) + bufs
 
 
 def pick_fused_variant(state_size: int, knot_points: int, dtype=jnp.float32,

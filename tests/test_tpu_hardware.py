@@ -141,3 +141,43 @@ def test_stream_variant_parity_on_chip():
     # reduction-order slack
     assert np.abs(np.asarray(r_stream.iters)
                   - np.asarray(r_buf.iters)).max() <= 2
+
+
+def test_compensated_fp64_grade_on_chip():
+    """The compensated (double-float) kernel's real claim is hardware-only
+    (XLA:CPU contracts mul+add into FMA and degrades the compensation —
+    tpcg/ops/df.py docstring): at tol 1e-24 the f32-storage kernel must
+    land within ~1e-12 relative of the f64 solution, ~1e5x below the f32
+    kernel's floor. Measured v5e reference: 5.6e-14 vs 3.9e-7."""
+    _require_tpu()
+    import numpy as _np
+
+    from tpcg import layout
+    from tpcg.ops.bdmv import to_lane_major
+    from tpcg.ops.compensated import fused_pcg_compensated_lane_major
+    from tpcg.solver import pallas_backend
+
+    n, K = 6, 24
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(3), n, K,
+                               dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(4), (K, n), jnp.float32)
+    x = _np.linalg.solve(_np.asarray(S.dense(), _np.float64),
+                         _np.asarray(g, _np.float64).reshape(-1))
+    g_lm = jnp.swapaxes(g, -1, -2)
+    # raw DF pair out of the kernel, recombined in NUMPY f64 (independent
+    # of the process's jax_enable_x64 state)
+    hi, lo, iters, conv, eta = fused_pcg_compensated_lane_major(
+        to_lane_major(S.blocks), None, g_lm, jnp.zeros_like(g_lm),
+        exit_tol=1e-24, max_iter=400, precond="symmetric_stair")
+    lam = (_np.asarray(hi, _np.float64)
+           + _np.asarray(lo, _np.float64)).T.reshape(-1)
+    f32 = pallas_backend.pcg_pallas(
+        S.blocks, None, g, jnp.zeros_like(g), exit_tol=1e-24,
+        max_iter=400, precond="symmetric_stair")
+    nrm = _np.abs(x).max()
+    e_cmp = _np.abs(lam - x).max() / nrm
+    e_f32 = _np.abs(_np.asarray(f32.lam, _np.float64).reshape(-1)
+                    - x).max() / nrm
+    assert bool(conv)
+    assert e_cmp < 1e-11, e_cmp
+    assert e_f32 > 1e-8  # the f32 floor this mode exists to beat

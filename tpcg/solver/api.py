@@ -122,6 +122,37 @@ def pcg_solve(S, gamma, lam0=None, *,
 
     backend = _pick_backend(backend, S.dtype)
     identity = config.preconditioner == "identity" and Pinv is None
+
+    if config.accumulate == "compensated":
+        # f32 storage + double-float in-kernel accumulation — the fused
+        # kernel's fp64-grade mode (tpcg/ops/compensated.py). Pallas-only
+        # (off-TPU it runs in interpret mode); for a true-f64 solve pass
+        # float64 inputs, which route to the jnp/XLA backend.
+        if config.method != "classic":
+            raise ValueError("accumulate='compensated' implements the "
+                             "classic method (the parity loop); got "
+                             f"method={config.method!r}")
+        if config.stop_on_nonfinite or config.precond_refine:
+            raise ValueError("accumulate='compensated' has no "
+                             "stop_on_nonfinite/precond_refine plumbing")
+        if S.dtype != jnp.float32:
+            raise ValueError("accumulate='compensated' is f32-storage by "
+                             f"definition (got {S.dtype}); float64 inputs "
+                             "already solve in full f64 on the jnp "
+                             "backend")
+        from tpcg.solver import pallas_backend
+        in_kernel = (Pinv is None and
+                     config.preconditioner in ("block_jacobi",
+                                               "symmetric_stair"))
+        pinv_blocks = None
+        if not identity and not in_kernel:
+            pinv_blocks = precond.materialize(S, config, Pinv).blocks
+        return pallas_backend.pcg_pallas_compensated(
+            S.blocks, pinv_blocks, gamma, lam0,
+            exit_tol=config.exit_tol, max_iter=config.max_iter,
+            precond=config.preconditioner if in_kernel else None,
+            interpret=jax.default_backend() != "tpu")
+
     # The Pallas backend constructs block-Jacobi / symmetric-stair Phi^-1
     # INSIDE the solve kernel — no separate build region, no Pinv in HBM.
     in_kernel = (backend == "pallas" and Pinv is None and
@@ -170,6 +201,9 @@ def pcg_solve_batched(S, gamma, lam0=None, *,
         raise ValueError("method='block' is multi-RHS only (shared S); use "
                          "pcg_solve_multirhs")
     _check_fixed_guard(config)
+    if config.accumulate != "f32":
+        raise ValueError("accumulate='compensated' is single-system "
+                         "(pcg_solve) only")
     if S.blocks.ndim != 5:
         raise ValueError(f"batched S.blocks must be (B, K, 3, n, n), got "
                          f"{S.blocks.shape}")
@@ -257,6 +291,9 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
         raise ValueError("pcg_solve_multirhs supports classic/pipelined/"
                          "block; the fixed-budget modes are single-system "
                          "(pcg_solve) / batched (pcg_solve_batched) only")
+    if config.accumulate != "f32":
+        raise ValueError("accumulate='compensated' is single-system "
+                         "(pcg_solve) only")
     if config.method == "block":
         if config.stop_on_nonfinite:
             raise ValueError("method='block' has no stop_on_nonfinite "

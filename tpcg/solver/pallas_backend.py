@@ -60,6 +60,41 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("max_iter", "precond", "interpret"))
+def pcg_pallas_compensated(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
+                           max_iter: int, precond: str = None,
+                           interpret: bool = False) -> PCGResult:
+    """Single-system compensated-accumulation solve (PCGConfig.accumulate
+    = 'compensated'); canonical layout in/out. f32 storage, double-float
+    recurrence/dot accumulation in-kernel (tpcg/ops/compensated.py) — the
+    TPU-native fp64 story."""
+    from tpcg.ops.compensated import fused_pcg_compensated_lane_major
+    from tpcg.utils.feasibility import check_fused_fits
+
+    # DF pairs roughly double the vector working set; rhs=2 charges that
+    # in the calibrated model (matrix terms are unchanged)
+    check_fused_fits(S_blocks.shape[-1], S_blocks.shape[-4],
+                     S_blocks.dtype,
+                     identity_pinv=Pinv_blocks is None, precond=precond,
+                     rhs=2, lean=False,
+                     pinv_pages=3 if Pinv_blocks is None
+                     else Pinv_blocks.shape[-3])
+    S_lm = to_lane_major(S_blocks)
+    Pinv_lm = None if Pinv_blocks is None else to_lane_major(Pinv_blocks)
+    hi_lm, lo_lm, iters, conv, eta = fused_pcg_compensated_lane_major(
+        S_lm, Pinv_lm, vec_to_lane_major(gamma), vec_to_lane_major(lam0),
+        exit_tol=exit_tol, max_iter=max_iter, precond=precond,
+        interpret=interpret)
+    # recombine the DF pair OUTSIDE the kernel. With jax_enable_x64 the
+    # result is genuine float64 carrying the full ~48-bit iterate (the
+    # whole point of the mode); without it JAX clamps to f32 — the best
+    # single-float rounding of the same iterate.
+    lam = (jnp.swapaxes(hi_lm, -1, -2).astype(jnp.float64)
+           + jnp.swapaxes(lo_lm, -1, -2).astype(jnp.float64))
+    return PCGResult(lam=lam, iters=iters, converged=conv, eta=eta)
+
+
+@functools.partial(jax.jit,
                    static_argnames=("max_iter", "precond",
                                     "stop_on_nonfinite", "method",
                                     "interpret"))

@@ -80,6 +80,14 @@ class PCGConfig:
     #: (tpcg/solver/blockcg.py) — multi-RHS entry point only.
     method: str = dataclasses.field(default="classic",
                                     metadata=dict(static=True))
+    #: Accumulation precision: "f32" (native) or "compensated" — f32
+    #: storage with double-float (~48-bit) in-kernel accumulation of the
+    #: residual recurrence and dots (tpcg/ops/compensated.py), serving
+    #: the reference's fp64 instantiation (examples/pcg_solve_dp.cu)
+    #: without TPU's emulated f64. Classic method, single-system, Pallas
+    #: path; for a true-f64 solve use float64 inputs on the jnp backend.
+    accumulate: str = dataclasses.field(default="f32",
+                                        metadata=dict(static=True))
     #: Neumann refinement of the preconditioner apply:
     #: ``z <- z + Pinv (v - S z)``, ``precond_refine`` times per apply.
     #: Measured at iiwa14 K=128: iterations 34 -> 24/20/17 at 1/2/3 steps.
@@ -105,6 +113,9 @@ class PCGConfig:
         if int(self.precond_refine) < 0:
             raise ValueError(f"precond_refine must be >= 0, "
                              f"got {self.precond_refine}")
+        if self.accumulate not in ("f32", "compensated"):
+            raise ValueError(f"accumulate must be 'f32' or 'compensated', "
+                             f"got {self.accumulate!r}")
 
 
 class PCGResult(NamedTuple):

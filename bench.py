@@ -297,21 +297,45 @@ def main():
     sim = nmpc.simulate(p_n, p_n.x_init, n_steps=4, config=cfg_n)
     st = sim.state
     g_carrier = jnp.broadcast_to(st.X[0], st.X.shape)  # row 0 = x_measured
+
+    # (a) the FULL control step: rigid-body linearize (vmapped jacfwd of
+    # RK4 Lagrangian dynamics) + assemble + warm-started PCG + recovery.
+    # Measured breakdown (v5e, device-chained): the dynamics autodiff
+    # dominates (~5.6 ms linearize + ~1.5 ms defects of a ~13.7 ms step —
+    # deep sequential small-op graphs are latency-bound on TPU); the
+    # solver core is the remaining few ms and is what the solver stack
+    # controls, hence row (b).
+    qp_n, _ = nmpc.rti_setup(p_n, config=cfg_n)
+
+    def step_fn(X_, U_, g_, l_):
+        # the chain nudge rides g_: folding it into X defeats XLA
+        # hoisting the (trajectory-dependent) linearization out of the
+        # chained-timing loop; g_[0] is the measured state
+        dx, du, res = qp_n(X_ + g_ * 1e-20, U_, g_[0], l_)
+        return res
+
+    r_s = step_fn(st.X, st.U, g_carrier, st.lam)
+    t_s = device_solve_time(step_fn, st.X, st.U, g_carrier, st.lam,
+                            repeats=128, lo_repeats=16, reps=5)
+    rows.append(("NMPC RTI full step iiwa14 K=128 (incl. linearize)",
+                 t_s * 1e6, int(r_s.iters), bool(r_s.converged),
+                 float("nan")))
+
+    # (b) the QP CORE at a fixed linearization: LQR-KKT assembly + Schur
+    # system + warm-started PCG + primal recovery — fused vs pure-XLA
+    from tpcg.models.sqp import _defects, _linearize, _qp_step
+    A_n, B_n = jax.jit(lambda X, U: _linearize(p_n, X, U))(st.X, st.U)
+    d_n = jax.jit(lambda X, U: _defects(p_n, X, U))(st.X, st.U)
     for name, bk in (("fused stair_refined", "auto"), ("pure-XLA", "jnp")):
-        qp_n, _ = nmpc.rti_setup(p_n, config=cfg_n, backend=bk)
-
-        def step_fn(X_, U_, g_, l_, qp_n=qp_n):
-            # the chain nudge rides g_: folding it into X defeats XLA
-            # hoisting the (trajectory-dependent) linearization out of the
-            # chained-timing loop; g_[0] is the measured state
-            dx, du, res = qp_n(X_ + g_ * 1e-20, U_, g_[0], l_)
-            return res
-
-        r_s = step_fn(st.X, st.U, g_carrier, st.lam)
-        t_s = device_solve_time(step_fn, st.X, st.U, g_carrier, st.lam,
-                                repeats=128, lo_repeats=16, reps=5)
-        rows.append((f"NMPC RTI step iiwa14 K=128 ({name})", t_s * 1e6,
-                     int(r_s.iters), bool(r_s.converged), float("nan")))
+        core = jax.jit(lambda A_, B_, d_, l_, bk=bk: _qp_step(
+            p_n, st.X, st.U, 1e-6, cfg_n, x_init=st.X[0], lam0=l_,
+            backend=bk, _lin=(A_, B_, d_))[2])
+        r_c2 = core(A_n, B_n, d_n, st.lam)
+        t_c2 = device_solve_time(
+            lambda A_, B_, d_, l_: core(A_, B_, d_, l_),
+            A_n, B_n, d_n, st.lam, repeats=256, lo_repeats=32, reps=5)
+        rows.append((f"NMPC QP core iiwa14 K=128 ({name})", t_c2 * 1e6,
+                     int(r_c2.iters), bool(r_c2.converged), float("nan")))
 
     err(f"{'config':48s} {'fused_us':>10s} {'iters':>6s} {'conv':>5s} "
         f"{'xla_us':>10s}")

@@ -248,3 +248,105 @@ def test_rdma_identity_rejects_pinv_operand():
         pcg_rdma_sharded(S.blocks, Pb, g, jnp.zeros_like(g),
                          mesh=_mesh(2), exit_tol=1e-6, max_iter=10,
                          precond="block_jacobi", interpret_params=INTERP)
+
+
+def _fleet(B, n, K, seed=0):
+    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+    blocks = jnp.stack([layout.random_spd_cbtd(k, n, K).blocks
+                        for k in keys])
+    g = jax.random.normal(jax.random.PRNGKey(seed + 100), (B, K, n),
+                          jnp.float32)
+    return blocks, g
+
+
+@pytest.mark.parametrize("d", [2, 4])
+@pytest.mark.parametrize("pre", ["identity", "symmetric_stair"])
+def test_rdma_fleet_matches_per_system(pre, d):
+    """Fleet (batch x knot) RDMA kernel: per-system parity with
+    independent jnp solves, in-kernel preconditioners included."""
+    from tpcg.parallel.rdma_knot import pcg_rdma_sharded_batched
+    from tpcg.types import BlockTridiag
+
+    B, n, K = 4, 4, 16
+    blocks, g = _fleet(B, n, K, seed=7 * d)
+    lam0 = jnp.zeros_like(g)
+    res = pcg_rdma_sharded_batched(
+        blocks, None, g, lam0, mesh=_mesh(d), exit_tol=1e-7, max_iter=300,
+        precond=pre, interpret_params=INTERP)
+    for b in range(B):
+        identity = pre == "identity"
+        pb = (blocks[b] if identity
+              else precond.build(BlockTridiag(blocks[b]), pre).blocks)
+        r1 = jnp_backend.pcg_jnp(blocks[b], pb, g[b], lam0[b],
+                                 exit_tol=1e-7, max_iter=300,
+                                 identity_pinv=identity)
+        assert bool(res.converged[b]) and bool(r1.converged)
+        # packed segmented dots + fixed-order mailbox reduce: +-2 slack
+        assert abs(int(res.iters[b]) - int(r1.iters)) <= 2, f"system {b}"
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), rtol=2e-4,
+                                   atol=2e-5)
+
+
+def test_rdma_fleet_pipelined_and_explicit():
+    from tpcg.parallel.rdma_knot import pcg_rdma_sharded_batched
+    from tpcg.solver.pipelined import pcg_pipelined_jnp
+    from tpcg.types import BlockTridiag
+
+    B, n, K, d = 4, 4, 16, 4
+    blocks, g = _fleet(B, n, K, seed=31)
+    lam0 = jnp.zeros_like(g)
+    Pb = jnp.stack([precond.build(BlockTridiag(blocks[b]),
+                                  "block_jacobi").blocks
+                    for b in range(B)])
+    res = pcg_rdma_sharded_batched(
+        blocks, Pb, g, lam0, mesh=_mesh(d), exit_tol=1e-7, max_iter=300,
+        method="pipelined", interpret_params=INTERP)
+    for b in range(B):
+        r1 = pcg_pipelined_jnp(blocks[b], Pb[b], g[b], lam0[b],
+                               exit_tol=1e-7, max_iter=300)
+        assert bool(res.converged[b])
+        assert abs(int(res.iters[b]) - int(r1.iters)) <= 2
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), rtol=2e-3,
+                                   atol=2e-4)
+
+
+def test_rdma_fleet_freeze_and_guard():
+    """Freeze-mask discipline across devices: a zero-rhs system reports 0
+    iterations; with stop_on_nonfinite a poisoned (S=0) system freezes
+    with converged=False while the rest of the fleet solves on."""
+    from tpcg.parallel.rdma_knot import pcg_rdma_sharded_batched
+
+    B, n, K, d = 4, 4, 16, 4
+    blocks, g = _fleet(B, n, K, seed=43)
+    blocks = blocks.at[2].set(0.0)
+    g = g.at[0].set(0.0)
+    lam0 = jnp.zeros_like(g)
+    res = pcg_rdma_sharded_batched(
+        blocks, None, g, lam0, mesh=_mesh(d), exit_tol=1e-7, max_iter=150,
+        precond="identity", stop_on_nonfinite=True,
+        interpret_params=INTERP)
+    assert int(res.iters[0]) == 0 and bool(res.converged[0])
+    assert np.all(np.asarray(res.lam[0]) == 0)
+    assert not bool(res.converged[2]) and int(res.iters[2]) < 150
+    for b in (1, 3):
+        assert bool(res.converged[b]), f"system {b}"
+        assert np.all(np.isfinite(np.asarray(res.lam[b])))
+
+
+def test_rdma_fleet_race_detector_clean():
+    from jax._src.pallas.mosaic.interpret import interpret_pallas_call as ipc
+
+    from tpcg.parallel.rdma_knot import pcg_rdma_sharded_batched
+
+    B, n, K, d = 2, 3, 8, 2
+    blocks, g = _fleet(B, n, K, seed=57)
+    params = pltpu.InterpretParams(detect_races=True)
+    res = pcg_rdma_sharded_batched(
+        blocks, None, g, jnp.zeros_like(g), mesh=_mesh(d), exit_tol=1e-7,
+        max_iter=100, precond="symmetric_stair",
+        interpret_params=params)
+    jax.block_until_ready(res.lam)
+    assert bool(np.asarray(res.converged).all())
+    assert ipc.races is not None and not ipc.races.races_found

@@ -133,22 +133,28 @@ def _linearize(p: TrajOptProblem, X, U):
 
 
 def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None,
-             x_init=None, lam0=None, backend="auto"):
+             x_init=None, lam0=None, backend="auto", _lin=None):
     """One Gauss-Newton QP: assemble the delta-form LQRProblem and PCG-solve
     its Schur complement. Returns (dx, du, pcg_result).
 
     ``x_init`` overrides ``p.x_init`` (the RTI-MPC loop re-anchors the QP
     at each measured state); ``lam0`` warm-starts the inner PCG solve (the
     reference's in/out ``h_lambda`` pattern, interface.cuh:58,76 — carried
-    across MPC steps)."""
+    across MPC steps). ``_lin=(A, B, d)`` injects a precomputed
+    linearization (bench/diagnostics: isolates the QP core — assembly +
+    solve + recovery — from the dynamics-autodiff cost, which dominates
+    the full step on TPU for deep rigid-body graphs)."""
     from tpcg.solver.api import pcg_solve
 
     if x_init is None:
         x_init = p.x_init
     n = X.shape[-1]
     m = U.shape[-1]
-    A, B = _linearize(p, X, U)
-    d = _defects(p, X, U)
+    if _lin is None:
+        A, B = _linearize(p, X, U)
+        d = _defects(p, X, U)
+    else:
+        A, B, d = _lin
     # gradients of the quadratic costs at the current trajectory
     gx = jnp.einsum('kij,kj->ki', p.Q, X, precision=_HIGH) + p.q
     gu = jnp.einsum('kij,kj->ki', p.R, U, precision=_HIGH) + p.r

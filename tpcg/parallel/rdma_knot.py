@@ -501,3 +501,419 @@ def pcg_rdma_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
         lam, iters, conv, eta = shard(S_blocks, Pinv_blocks, gamma, lam0)
     return PCGResult(lam=lam, iters=iters[0], converged=conv[0] != 0,
                      eta=eta[0])
+
+
+# ---------------------------------------------------------------------------
+# Fleet form: B systems x K knots, knot axis sharded, lane-packed locally
+# ---------------------------------------------------------------------------
+
+def _fleet_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
+                  lam_ref, iters_ref, conv_ref, eta_ref,
+                  send_l, send_r, recvA_l, recvA_r, recvB_l, recvB_r,
+                  mbA, mbB, part_buf,
+                  hsend_l, hsend_r, hrecvA_l, hrecvA_r, hrecvB_l, hrecvB_r,
+                  mb_send, mbA_recv, mbB_recv,
+                  *, n, Kd, B, D, L, max_iter, axis_name,
+                  method="classic", precond="explicit", mb_rows=8,
+                  stop_on_nonfinite=False):
+    """Fleet (batch x knot) persistent RDMA kernel.
+
+    Local layout is the lane-packed form of tpcg/ops/packed.py: B systems'
+    local shards abutted on lanes — S ``(3, n, n, L)``, vectors
+    ``(n, L)`` with ``L = B * Kd`` and period-``Kd`` segments. Three
+    differences from the single-system kernel above:
+
+    * halo exchange ships the WHOLE (n, L) page to each neighbor (the
+      per-segment edge columns live at strided lanes; a strided gather is
+      hostile to Mosaic, and the extra bytes are noise next to ICI
+      latency), and the received page is aligned onto segment starts/ends
+      with masked rolls;
+    * the mailbox payload is the full (1, L) lane vector of per-segment
+      partial sums (replicated within each segment by the local log-shift
+      all-reduce), so the cross-device reduce yields per-SYSTEM scalars
+      with no transposes — alpha/beta/eta stay lane-replicated values,
+      exactly like the packed kernel;
+    * the loop carries the packed freeze-mask discipline
+      (tpcg/ops/packed.py _packed_classic_loop): per-system done/conv
+      masks, optional nonfinite guard — and because every mask derives
+      from all-reduced etas, every device computes identical masks and
+      the while predicate cannot diverge (the collective-deadlock
+      invariant).
+    """
+    from tpcg.ops.packed import (_seg_allreduce, _seg_shift_down,
+                                 _seg_shift_up)
+    from tpcg.ops.smallinv import (blockdiag_mv_lane_major,
+                                   gj_inverse_lane_major)
+
+    my = jax.lax.axis_index(axis_name)
+    left = jax.lax.rem(my - 1 + D, jnp.int32(D))
+    right = jax.lax.rem(my + 1, jnp.int32(D))
+    first = my == 0
+    last = my == D - 1
+
+    def barrier():
+        sem = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(sem, device_id=left, device_id_type=_LOGICAL)
+        pltpu.semaphore_signal(sem, device_id=right,
+                               device_id_type=_LOGICAL)
+        pltpu.semaphore_wait(sem, 2)
+
+    def halo_exchange(v, recv_l, recv_r, hrecv_l, hrecv_r):
+        send_r[...] = v
+        send_l[...] = v
+        cr = pltpu.make_async_remote_copy(
+            src_ref=send_r, dst_ref=recv_l, send_sem=hsend_r,
+            recv_sem=hrecv_l, device_id=right, device_id_type=_LOGICAL)
+        cl = pltpu.make_async_remote_copy(
+            src_ref=send_l, dst_ref=recv_r, send_sem=hsend_l,
+            recv_sem=hrecv_r, device_id=left, device_id_type=_LOGICAL)
+        cr.start()
+        cl.start()
+        cr.wait()
+        cl.wait()
+        return recv_l[...], recv_r[...]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, L), 1)
+    lmod = lane % jnp.int32(Kd)
+
+    def shifts_with_halos(v, pg_l, pg_r):
+        """Period-Kd down/up shifts with the cross-device columns patched
+        in: segment-start lanes take the LEFT neighbor's segment-end value
+        (its lane l+Kd-1, aligned here by a -(Kd-1) roll), segment-end
+        lanes the RIGHT neighbor's segment-start value; the global chain
+        ends stay zero."""
+        v_dn = _seg_shift_down(v, n, L, Kd)
+        v_up = _seg_shift_up(v, n, L, Kd)
+        if Kd > 1:
+            hl = jnp.roll(pg_l, -(Kd - 1), axis=1)
+            hr = jnp.roll(pg_r, Kd - 1, axis=1)
+        else:
+            hl, hr = pg_l, pg_r
+        take_l = jnp.logical_and(lmod == jnp.int32(0),
+                                 jnp.logical_not(first))
+        take_r = jnp.logical_and(lmod == jnp.int32(Kd - 1),
+                                 jnp.logical_not(last))
+        v_dn = jnp.where(take_l, hl, v_dn)
+        v_up = jnp.where(take_r, hr, v_up)
+        return v_dn, v_up
+
+    barrier()
+
+    S = S_ref[...]
+    gamma = gamma_ref[...]
+    lam0 = lam0_ref[...]
+    tol = tol_ref[0]
+
+    ex_A = lambda v: halo_exchange(v, recvA_l, recvA_r, hrecvA_l, hrecvA_r)
+    ex_B = lambda v: halo_exchange(v, recvB_l, recvB_r, hrecvB_l, hrecvB_r)
+
+    class _ExAlt:
+        def __init__(self):
+            self._use_A = True
+
+        def __call__(self, v):
+            use_A = self._use_A
+            self._use_A = not use_A
+            return (ex_A if use_A else ex_B)(v)
+
+    exx = _ExAlt()
+
+    def bdmv(M, v_dn, v, v_up):
+        return (jnp.sum(M[0] * v_dn[:, None, :], axis=0) +
+                jnp.sum(M[1] * v[:, None, :], axis=0) +
+                jnp.sum(M[2] * v_up[:, None, :], axis=0))
+
+    def mv(v, ex):
+        pg_l, pg_r = ex(v)
+        return bdmv(S, *_mid(shifts_with_halos(v, pg_l, pg_r), v))
+
+    def _mid(dnup, v):
+        return (dnup[0], v, dnup[1])
+
+    if precond == "explicit":
+        Pinv = pinv_ref[...]
+    elif precond in ("block_jacobi", "symmetric_stair"):
+        Dinv_t = gj_inverse_lane_major(S[1], n, L, unroll=True)
+
+    def apply_pinv(v, ex):
+        if precond == "identity":
+            return v
+        if precond == "explicit":
+            pg_l, pg_r = ex(v)
+            return bdmv(Pinv, *_mid(shifts_with_halos(v, pg_l, pg_r), v))
+        if precond == "block_jacobi":
+            return blockdiag_mv_lane_major(Dinv_t, v, n, L)
+        w = blockdiag_mv_lane_major(Dinv_t, v, n, L)
+        pg_l, pg_r = ex(w)
+        w_dn, w_up = shifts_with_halos(w, pg_l, pg_r)
+        t = v - (jnp.sum(S[0] * w_dn[:, None, :], axis=0) +
+                 jnp.sum(S[2] * w_up[:, None, :], axis=0))
+        return blockdiag_mv_lane_major(Dinv_t, t, n, L)
+
+    def allreduce(t, mb, mb_recv):
+        """Cross-device sum of a (1, L) lane vector of per-segment local
+        partials: every device posts its row, waits for all D arrivals,
+        reduces rows in fixed order — per-system sums land replicated on
+        every lane of their segment, on every device."""
+        part_buf[...] = t
+        copies = []
+        for k in range(D):
+            c = pltpu.make_async_remote_copy(
+                src_ref=part_buf, dst_ref=mb.at[pl.ds(my, 1), :],
+                send_sem=mb_send, recv_sem=mb_recv,
+                device_id=jnp.int32(k), device_id_type=_LOGICAL)
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
+        rowmask = (jax.lax.broadcasted_iota(jnp.int32, (mb_rows, L), 0)
+                   < jnp.int32(D))
+        return jnp.sum(jnp.where(rowmask, mb[...], 0.0), axis=0,
+                       keepdims=True)
+
+    def vdot_local(a, b):
+        from tpcg.ops.packed import _seg_allreduce
+        t = jnp.sum(a * b, axis=0, keepdims=True)
+        return _seg_allreduce(t, L, Kd)
+
+    if method not in ("classic", "pipelined"):
+        raise ValueError(f"bad fleet method {method!r}")
+
+    # --- init ---
+    r = gamma - mv(lam0, exx)
+    if method == "pipelined":
+        u = apply_pinv(r, exx)
+        w = mv(u, exx)
+        eta = allreduce(vdot_local(r, u), mbA, mbA_recv)
+    else:
+        rt = apply_pinv(r, exx)
+        p = rt
+        eta = allreduce(vdot_local(r, rt), mbA, mbA_recv)
+
+    conv0 = (jnp.abs(eta) < tol).astype(jnp.int32)
+    done0 = conv0
+    if stop_on_nonfinite:
+        done0 = jnp.maximum(
+            done0, jnp.logical_not(jnp.isfinite(eta)).astype(jnp.int32))
+
+    if method == "pipelined":
+        zeros = jnp.zeros_like(r)
+
+        def pcond(c):
+            return jnp.logical_and(c[-1] < max_iter,
+                                   jnp.min(c[-2]) < jnp.int32(1))
+
+        def pbody(c):
+            (x, r, u, w, z, q, s, p, eta_prev, alpha_prev, iters, conv32,
+             done32, step) = c
+            active = done32 == jnp.int32(0)
+            ep = vdot_local(r, u)
+            dp = vdot_local(w, u)
+            # two rounds per iteration in strict global alternation with
+            # the init round (A): B, A | B, A | ... — the fleet payload
+            # carries per-system lanes, so the single-system kernel's
+            # combined two-scalar round (allreduce2) does not transfer
+            # directly; a taller two-row payload could recover the single
+            # sync point later
+            eta = allreduce(ep, mbB, mbB_recv)
+            delta = allreduce(dp, mbA, mbA_recv)
+            eta = jnp.where(active, eta, eta_prev)
+            m = apply_pinv(w, exx)
+            nn = mv(m, exx)
+            frst = step == 0
+            beta = jnp.where(frst, jnp.zeros_like(eta), eta / eta_prev)
+            alpha = jnp.where(frst, eta / delta,
+                              eta / (delta - beta * eta / alpha_prev))
+            z = jnp.where(active, nn + beta * z, z)
+            q = jnp.where(active, m + beta * q, q)
+            s = jnp.where(active, w + beta * s, s)
+            p = jnp.where(active, u + beta * p, p)
+            x = jnp.where(active, x + alpha * p, x)
+            r = jnp.where(active, r - alpha * s, r)
+            u = jnp.where(active, u - alpha * q, u)
+            w = jnp.where(active, w - alpha * z, w)
+            conv_new = jnp.logical_and(active, jnp.abs(eta) < tol)
+            conv32 = jnp.maximum(conv32, conv_new.astype(jnp.int32))
+            done32 = jnp.maximum(done32, conv32)
+            if stop_on_nonfinite:
+                bad = jnp.logical_and(
+                    active, jnp.logical_not(jnp.isfinite(eta)))
+                done32 = jnp.maximum(done32, bad.astype(jnp.int32))
+            alpha_prev = jnp.where(active, alpha, alpha_prev)
+            iters = iters + active.astype(jnp.int32)
+            return (x, r, u, w, z, q, s, p, eta, alpha_prev, iters,
+                    conv32, done32, step + 1)
+
+        init = (lam0, r, u, w, zeros, zeros, zeros, zeros, eta,
+                jnp.ones_like(eta), jnp.zeros((1, L), jnp.int32), conv0,
+                done0, jnp.zeros((), jnp.int32))
+        out = jax.lax.while_loop(pcond, pbody, init)
+        lam, eta_v, iters_v, conv_v = out[0], out[8], out[10], out[11]
+    else:
+        def cond(c):
+            return jnp.logical_and(c[-1] < max_iter,
+                                   jnp.min(c[-2]) < jnp.int32(1))
+
+        def body(c):
+            lam, r, p, eta, iters, conv32, done32, step = c
+            active = done32 == jnp.int32(0)
+            ups = mv(p, exx)
+            denom = allreduce(vdot_local(p, ups), mbB, mbB_recv)
+            alpha = eta / denom
+            lam = jnp.where(active, lam + alpha * p, lam)
+            r = jnp.where(active, r - alpha * ups, r)
+            rt = apply_pinv(r, exx)
+            eta_new = jnp.where(
+                active, allreduce(vdot_local(r, rt), mbA, mbA_recv), eta)
+            conv_new = jnp.logical_and(active, jnp.abs(eta_new) < tol)
+            beta = eta_new / eta
+            p = jnp.where(active, rt + beta * p, p)
+            iters = iters + active.astype(jnp.int32)
+            conv32 = jnp.maximum(conv32, conv_new.astype(jnp.int32))
+            done32 = jnp.maximum(done32, conv32)
+            if stop_on_nonfinite:
+                bad = jnp.logical_and(
+                    active, jnp.logical_not(jnp.isfinite(eta_new)))
+                done32 = jnp.maximum(done32, bad.astype(jnp.int32))
+            return (lam, r, p, eta_new, iters, conv32, done32, step + 1)
+
+        init = (lam0, r, p, eta, jnp.zeros((1, L), jnp.int32), conv0,
+                done0, jnp.zeros((), jnp.int32))
+        out = jax.lax.while_loop(cond, body, init)
+        lam, eta_v, iters_v, conv_v = out[0], out[3], out[4], out[5]
+
+    lam_ref[...] = lam
+    for b in range(B):
+        idx = jnp.int32(b)
+        iters_ref[idx] = iters_v[0, b * Kd]
+        conv_ref[idx] = conv_v[0, b * Kd]
+        eta_ref[idx] = eta_v[0, b * Kd]
+
+    barrier()
+
+
+def _fleet_kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref, *rest, **kw):
+    _fleet_kernel(tol_ref, S_ref, None, gamma_ref, lam0_ref, *rest, **kw)
+
+
+def pcg_rdma_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
+                             axis_name: str = "knot", exit_tol,
+                             max_iter: int, method: str = "classic",
+                             precond: str = None,
+                             stop_on_nonfinite: bool = False,
+                             interpret_params=None) -> PCGResult:
+    """Fleet (batch x knot) solve through the persistent RDMA kernel:
+    ``S_blocks (B, K, 3, n, n)``, vectors ``(B, K, n)``, knot axis sharded
+    over the mesh. Per-system iteration semantics match independent solves
+    (frozen after convergence; optional ``stop_on_nonfinite`` freeze), and
+    every device executes one identical persistent kernel for the whole
+    fleet — the batched completion of the reference's cooperative-kernel
+    architecture that its one-launch-per-system design could not express
+    (SURVEY.md §2 "parallelism strategies: batched solve absent").
+    """
+    from tpcg.ops.bdmv import to_lane_major
+
+    B, K, _, n, _ = S_blocks.shape
+    D = int(np.prod([mesh.shape[a] for a in (axis_name,)]))
+    if K % D != 0:
+        raise ValueError(f"knot_points={K} must divide over the "
+                         f"{D}-device '{axis_name}' mesh axis")
+    if D > 128:
+        raise ValueError("one mailbox row per device: > 128 devices needs "
+                         "a hierarchical reduce")
+    if precond is None:
+        precond = "identity" if Pinv_blocks is None else "explicit"
+    if precond != "explicit" and Pinv_blocks is not None:
+        raise ValueError(f"Pinv_blocks must be None with precond="
+                         f"{precond!r}")
+    if precond == "explicit" and Pinv_blocks.shape[-3] != 3:
+        raise ValueError("fleet RDMA explicit path is cbtd-only")
+    if method not in ("classic", "pipelined"):
+        raise ValueError(f"method must be 'classic' or 'pipelined', got "
+                         f"{method!r}")
+    Kd = K // D
+    L = B * Kd
+    mb_rows = max(8, -(-D // 8) * 8)
+    dtype = S_blocks.dtype
+    tol = jnp.asarray([exit_tol], dtype)
+
+    kern_fn = _fleet_kernel if precond == "explicit" else \
+        _fleet_kernel_nopinv
+    kern = functools.partial(kern_fn, n=n, Kd=Kd, B=B, D=D, L=L,
+                             max_iter=max_iter, axis_name=axis_name,
+                             method=method, precond=precond,
+                             mb_rows=mb_rows,
+                             stop_on_nonfinite=stop_on_nonfinite)
+
+    def pack_mats(blocks_sh):   # (B, Kd, 3, n, n) -> (3, n, n, B*Kd)
+        lm = jax.vmap(to_lane_major)(blocks_sh)      # (B, 3, n, n, Kd)
+        return jnp.moveaxis(lm, 0, -2).reshape(3, n, n, L)
+
+    def pack_vecs(v_sh):        # (B, Kd, n) -> (n, B*Kd)
+        v = jnp.swapaxes(v_sh, -1, -2)               # (B, n, Kd)
+        return jnp.moveaxis(v, 0, -2).reshape(n, L)
+
+    def per_device(S_sh, P_sh, g_sh, l_sh):
+        S_lm = pack_mats(S_sh)
+        g_lm = pack_vecs(g_sh)
+        l_lm = pack_vecs(l_sh)
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        page = pltpu.VMEM((n, L), dtype)
+        if P_sh is None:
+            in_specs = [smem, vmem, vmem, vmem]
+            operands = (tol, S_lm, g_lm, l_lm)
+        else:
+            in_specs = [smem, vmem, vmem, vmem, vmem]
+            operands = (tol, S_lm, pack_mats(P_sh), g_lm, l_lm)
+        lam_lm, iters, conv, eta = pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((n, L), dtype),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+                jax.ShapeDtypeStruct((B,), dtype),
+            ),
+            in_specs=in_specs,
+            out_specs=(vmem, smem, smem, smem),
+            scratch_shapes=[
+                page, page,                    # send_l, send_r
+                page, page, page, page,        # recvA/B full-page halos
+                pltpu.VMEM((mb_rows, L), dtype),   # mailbox A
+                pltpu.VMEM((mb_rows, L), dtype),   # mailbox B
+                pltpu.VMEM((1, L), dtype),     # partial broadcast buffer
+                pltpu.SemaphoreType.DMA,       # hsend_l
+                pltpu.SemaphoreType.DMA,       # hsend_r
+                pltpu.SemaphoreType.DMA,       # hrecvA_l
+                pltpu.SemaphoreType.DMA,       # hrecvA_r
+                pltpu.SemaphoreType.DMA,       # hrecvB_l
+                pltpu.SemaphoreType.DMA,       # hrecvB_r
+                pltpu.SemaphoreType.DMA,       # mb_send
+                pltpu.SemaphoreType.DMA,       # mbA_recv
+                pltpu.SemaphoreType.DMA,       # mbB_recv
+            ],
+            compiler_params=pltpu.CompilerParams(collective_id=0),
+            interpret=(interpret_params if interpret_params is not None
+                       else False),
+        )(*operands)
+        # (n, B*Kd) -> (B, Kd, n)
+        lam = jnp.moveaxis(lam_lm.reshape(n, B, Kd), 1, 0)
+        return jnp.swapaxes(lam, -1, -2), iters, conv, eta
+
+    in_knot = P(None, axis_name)
+    if Pinv_blocks is None:
+        shard = jax.shard_map(
+            lambda S_sh, g_sh, l_sh: per_device(S_sh, None, g_sh, l_sh),
+            mesh=mesh,
+            in_specs=(in_knot, in_knot, in_knot),
+            out_specs=(in_knot, P(), P(), P()),
+            check_vma=False)
+        lam, iters, conv, eta = shard(S_blocks, gamma, lam0)
+    else:
+        shard = jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(in_knot, in_knot, in_knot, in_knot),
+            out_specs=(in_knot, P(), P(), P()),
+            check_vma=False)
+        lam, iters, conv, eta = shard(S_blocks, Pinv_blocks, gamma, lam0)
+    return PCGResult(lam=lam, iters=iters, converged=conv != 0, eta=eta)

@@ -225,3 +225,71 @@ def test_fixed_pipelined_batched_packed_route():
         for lam in (res.lam[b], r1.lam):
             np.testing.assert_allclose(np.asarray(lam).reshape(-1), x,
                                        rtol=5e-3, atol=3e-3)
+
+
+def test_speculative_matches_adaptive_semantics():
+    """method='speculative' = zero-sync fixed sweep + adaptive top-up: it
+    must CONVERGE to tolerance regardless of the budget guess, reporting
+    iters = budget + top-up passes."""
+    from tpcg.solver.pipelined import pcg_pipelined_jnp, pcg_speculative_jnp
+
+    S, g = _sys(seed=27)
+    Pb = precond.build(S, "symmetric_stair").blocks
+    ref = pcg_pipelined_jnp(S.blocks, Pb, g, jnp.zeros_like(g),
+                            exit_tol=1e-7, max_iter=200)
+    k = int(ref.iters)
+    # (a) budget right on target: no top-up passes beyond the verify
+    res = pcg_speculative_jnp(S.blocks, Pb, g, jnp.zeros_like(g),
+                              exit_tol=1e-7, max_iter=200,
+                              spec_budget=k + 1)
+    assert bool(res.converged)
+    assert int(res.iters) <= k + 2
+    # (b) budget far too small: the adaptive phase finishes the job
+    res_lo = pcg_speculative_jnp(S.blocks, Pb, g, jnp.zeros_like(g),
+                                 exit_tol=1e-7, max_iter=200,
+                                 spec_budget=3)
+    assert bool(res_lo.converged)
+    assert int(res_lo.iters) > 3
+    x = np.linalg.solve(np.asarray(S.dense(), np.float64),
+                        np.asarray(g, np.float64).reshape(-1))
+    for r in (res, res_lo):
+        np.testing.assert_allclose(np.asarray(r.lam).reshape(-1), x,
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_speculative_public_api_and_pallas_interpret():
+    from tpcg.solver import pallas_backend
+
+    S, g = _sys(seed=29)
+    cfg = PCGConfig(exit_tol=1e-7, max_iter=120,
+                    preconditioner="symmetric_stair", method="speculative",
+                    spec_budget=20)
+    r_jnp = pcg_solve(S, g, config=cfg, backend="jnp")
+    assert bool(r_jnp.converged)
+    r_pal = pallas_backend.pcg_pallas(
+        S.blocks, None, g, jnp.zeros_like(g), exit_tol=1e-7, max_iter=120,
+        precond="symmetric_stair", method="speculative", spec_budget=20,
+        interpret=True)
+    assert bool(r_pal.converged)
+    # the top-up pass count is exquisitely sensitive to reduction order
+    # right at the tolerance (budget 20 lands eta within ulps of tol):
+    # allow a few passes of slack, assert solutions against the truth
+    assert abs(int(r_pal.iters) - int(r_jnp.iters)) <= 3
+    x = np.linalg.solve(np.asarray(S.dense(), np.float64),
+                        np.asarray(g, np.float64).reshape(-1))
+    for r in (r_jnp, r_pal):
+        np.testing.assert_allclose(np.asarray(r.lam).reshape(-1), x,
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_speculative_validation():
+    import tpcg
+
+    S, g = _sys(seed=33)
+    with pytest.raises(ValueError, match="spec_budget"):
+        PCGConfig(method="speculative", max_iter=10, spec_budget=10)
+    with pytest.raises(ValueError, match="single-system"):
+        tpcg.pcg_solve_batched(
+            jnp.stack([S.blocks, S.blocks]),
+            jnp.stack([g, g]),
+            config=PCGConfig(method="speculative", max_iter=50))

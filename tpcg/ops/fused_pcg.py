@@ -72,7 +72,7 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                 lam_ref, iters_ref, conv_ref, eta_ref, trace_ref=None,
                 *, n, K, max_iter, precond, stop_on_nonfinite=False,
                 method="classic", out_idx=0, lean=False,
-                precond_refine=0):
+                precond_refine=0, spec_budget=0):
     """Kernel body.
 
     ``precond`` selects the preconditioner strategy:
@@ -218,6 +218,27 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
             trace_ref[max_iter] = eta
         return
 
+    if method == "speculative":
+        # zero-sync fixed sweep + adaptive pipelined top-up (the fastest
+        # ADAPTIVE-contract form on chip when the budget guess is right —
+        # tpcg/solver/pipelined.py speculative_pcg_body)
+        from tpcg.solver.pipelined import (resolve_spec_budget,
+                                           speculative_pcg_body)
+        vdot11 = lambda a, b: jnp.sum(a * b, keepdims=True).reshape(1, 1)
+        budget = resolve_spec_budget(max_iter, spec_budget)
+        if trace_ref is not None:
+            raise NotImplementedError(
+                "debug_eta is not plumbed through the two-phase "
+                "speculative mode; trace the pipelined method instead")
+        lam, iters, converged, eta = speculative_pcg_body(
+            mv, apply_pinv, vdot11, gamma, lam0, tol, max_iter, budget,
+            stop_on_nonfinite)
+        lam_ref[:, :] = lam
+        iters_ref[out_idx] = iters
+        conv_ref[out_idx] = converged.astype(jnp.int32)
+        eta_ref[out_idx] = eta[0, 0]
+        return
+
     if method == "pipelined":
         from tpcg.solver.pipelined import pipelined_pcg_body
         # (1,1)-shaped dots: alpha/beta stay vector values, skipping the
@@ -314,12 +335,13 @@ def _pcg_kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref, *out_refs, **kw):
                    static_argnames=("max_iter", "precond",
                                     "stop_on_nonfinite", "method",
                                     "lean", "precond_refine", "debug_eta",
-                                    "interpret"))
+                                    "spec_budget", "interpret"))
 def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
                          exit_tol, max_iter: int, precond: str = None,
                          stop_on_nonfinite: bool = False,
                          method: str = "classic", lean: bool = False,
                          precond_refine: int = 0, debug_eta: bool = False,
+                         spec_budget: int = 0,
                          interpret: bool = False):
     """Run the fused solve on lane-major inputs.
 
@@ -352,7 +374,7 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
 
     kw = dict(n=n, K=K, max_iter=max_iter, precond=precond, method=method,
               stop_on_nonfinite=stop_on_nonfinite, lean=lean,
-              precond_refine=precond_refine)
+              precond_refine=precond_refine, spec_budget=spec_budget)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if precond == "explicit":
         kernel = functools.partial(_pcg_kernel, **kw)

@@ -56,6 +56,9 @@ def _jnp_solver(method: str):
     if method == "fixed_pipelined":
         from tpcg.solver.pipelined import pcg_fixed_pipelined_jnp
         return pcg_fixed_pipelined_jnp
+    if method == "speculative":
+        from tpcg.solver.pipelined import pcg_speculative_jnp
+        return pcg_speculative_jnp
     if method == "fixed":
         return jnp_backend.pcg_fixed_jnp
     return jnp_backend.pcg_jnp
@@ -165,6 +168,8 @@ def pcg_solve(S, gamma, lam0=None, *,
     refine = (0 if config.preconditioner == "stair_refined"
               else config.precond_refine)
 
+    spec_kw = ({"spec_budget": config.spec_budget}
+               if config.method == "speculative" else {})
     if backend == "jnp":
         pblocks = S.blocks if identity else Pinv.blocks
         return _jnp_solver(config.method)(
@@ -172,7 +177,7 @@ def pcg_solve(S, gamma, lam0=None, *,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
             identity_pinv=identity,
             stop_on_nonfinite=config.stop_on_nonfinite,
-            precond_refine=refine)
+            precond_refine=refine, **spec_kw)
     else:
         from tpcg.solver import pallas_backend
         pinv_blocks = None if (identity or in_kernel) else Pinv.blocks
@@ -181,7 +186,7 @@ def pcg_solve(S, gamma, lam0=None, *,
             exit_tol=config.exit_tol, max_iter=config.max_iter,
             precond=config.preconditioner if in_kernel else None,
             stop_on_nonfinite=config.stop_on_nonfinite,
-            method=config.method, precond_refine=refine)
+            method=config.method, precond_refine=refine, **spec_kw)
 
 
 def pcg_solve_batched(S, gamma, lam0=None, *,
@@ -204,6 +209,10 @@ def pcg_solve_batched(S, gamma, lam0=None, *,
     if config.accumulate != "f32":
         raise ValueError("accumulate='compensated' is single-system "
                          "(pcg_solve) only")
+    if config.method == "speculative":
+        raise ValueError("method='speculative' is single-system "
+                         "(pcg_solve) only for now; fleets get the same "
+                         "latency contract from method='fixed_pipelined'")
     if S.blocks.ndim != 5:
         raise ValueError(f"batched S.blocks must be (B, K, 3, n, n), got "
                          f"{S.blocks.shape}")
@@ -287,10 +296,11 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
     if lam0.shape != gamma.shape:
         raise ValueError(f"lam0 shape {lam0.shape} != gamma {gamma.shape}")
 
-    if config.method in ("fixed", "fixed_pipelined"):
+    if config.method in ("fixed", "fixed_pipelined", "speculative"):
         raise ValueError("pcg_solve_multirhs supports classic/pipelined/"
-                         "block; the fixed-budget modes are single-system "
-                         "(pcg_solve) / batched (pcg_solve_batched) only")
+                         "block; the fixed-budget/speculative modes are "
+                         "single-system (pcg_solve) / batched "
+                         "(pcg_solve_batched) only")
     if config.accumulate != "f32":
         raise ValueError("accumulate='compensated' is single-system "
                          "(pcg_solve) only")

@@ -254,6 +254,69 @@ def fixed_pipelined_body(mv, apply_pinv, vdot, gamma, lam0, max_iter: int,
     return x, vdot(r, u)
 
 
+def speculative_pcg_body(mv, apply_pinv, vdot, gamma, lam0, exit_tol,
+                         max_iter: int, budget: int,
+                         stop_on_nonfinite: bool = False,
+                         trace_store=None):
+    """Speculative mode: ``budget`` passes of the ZERO-SYNC fixed
+    pipelined sweep (no vector->scalar round trips at all), then hand the
+    iterate to the adaptive pipelined loop, which verifies and tops up to
+    ``exit_tol``.
+
+    When the budget guess is right (a warm-started MPC loop knows last
+    step's count), the adaptive phase costs only its init (one mv + one
+    apply + one mv + one dot — no loop passes) and the pre-loop exit
+    check, so the whole solve runs at fixed-mode speed WITH the full
+    adaptive-tolerance contract; a wrong guess degrades gracefully into
+    the adaptive loop. Reported ``iters`` = budget + top-up passes
+    (matching what the two phases actually executed)."""
+    x, _ = fixed_pipelined_body(mv, apply_pinv, vdot, gamma, lam0, budget,
+                                trace_store=trace_store)
+    x, it2, conv, eta = pipelined_pcg_body(
+        mv, apply_pinv, vdot, gamma, x, exit_tol, max_iter - budget,
+        stop_on_nonfinite)
+    return x, jnp.int32(budget) + it2, conv, eta
+
+
+def resolve_spec_budget(max_iter: int, spec_budget: int) -> int:
+    """0 = auto: three quarters of the cap (a conservative default when no
+    warm-start iteration history exists)."""
+    b = spec_budget if spec_budget else max(1, (3 * max_iter) // 4)
+    if not 1 <= b < max_iter:
+        raise ValueError(f"spec_budget must be in [1, max_iter), got {b} "
+                         f"with max_iter={max_iter}")
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
+                                             "stop_on_nonfinite",
+                                             "precond_refine",
+                                             "spec_budget"))
+def pcg_speculative_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
+                        max_iter: int, identity_pinv: bool = False,
+                        stop_on_nonfinite: bool = False,
+                        precond_refine: int = 0,
+                        spec_budget: int = 0) -> PCGResult:
+    """jnp oracle for ``PCGConfig(method='speculative')``."""
+    exit_tol = jnp.asarray(exit_tol, dtype=gamma.dtype)
+    mv = lambda v: bdmv(S_blocks, v)
+
+    def apply_pinv(v):
+        if identity_pinv:
+            return v
+        z = bdmv(Pinv_blocks, v)
+        for _ in range(precond_refine):
+            z = z + bdmv(Pinv_blocks, v - mv(z))
+        return z
+
+    vdot = lambda a, b: jnp.sum(a * b)
+    budget = resolve_spec_budget(max_iter, spec_budget)
+    x, iters, conv, eta = speculative_pcg_body(
+        mv, apply_pinv, vdot, gamma, lam0, exit_tol, max_iter, budget,
+        stop_on_nonfinite)
+    return PCGResult(lam=x, iters=iters, converged=conv, eta=eta)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
                                              "stop_on_nonfinite",
                                              "precond_refine"))

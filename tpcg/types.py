@@ -76,10 +76,19 @@ class PCGConfig:
     #: "fixed_pipelined" = the same bounded-latency contract on the
     #: pipelined (one-sync-point) recurrence — the fastest fixed-budget
     #: form on chip (tpcg/solver/pipelined.py fixed_pipelined_body).
+    #: "speculative" = a zero-sync fixed sweep of ``spec_budget`` passes
+    #: followed by an ADAPTIVE pipelined top-up to exit_tol — the full
+    #: adaptive-tolerance contract at near-fixed-mode speed when the
+    #: budget guess is right (warm-started MPC knows last step's count).
     #: "block" = block-PCG sharing one Krylov space across right-hand sides
     #: (tpcg/solver/blockcg.py) — multi-RHS entry point only.
     method: str = dataclasses.field(default="classic",
                                     metadata=dict(static=True))
+    #: Fixed-sweep pass count for method="speculative" (0 = auto: three
+    #: quarters of max_iter). In an MPC loop, set it from the previous
+    #: control step's iteration count.
+    spec_budget: int = dataclasses.field(default=0,
+                                         metadata=dict(static=True))
     #: Accumulation precision: "f32" (native) or "compensated" — f32
     #: storage with double-float (~48-bit) in-kernel accumulation of the
     #: residual recurrence and dots (tpcg/ops/compensated.py), serving
@@ -106,10 +115,16 @@ class PCGConfig:
         if int(self.max_iter) < 1:
             raise ValueError(f"max_iter must be >= 1, got {self.max_iter}")
         if self.method not in ("classic", "pipelined", "fixed",
-                               "fixed_pipelined", "block"):
+                               "fixed_pipelined", "speculative", "block"):
             raise ValueError(f"method must be 'classic', 'pipelined', "
-                             f"'fixed', 'fixed_pipelined' or 'block', got "
-                             f"{self.method!r}")
+                             f"'fixed', 'fixed_pipelined', 'speculative' "
+                             f"or 'block', got {self.method!r}")
+        if int(self.spec_budget) < 0 or (
+                self.method == "speculative"
+                and int(self.spec_budget) >= int(self.max_iter)):
+            raise ValueError(
+                f"spec_budget must be in [0, max_iter) "
+                f"(got {self.spec_budget} with max_iter={self.max_iter})")
         if int(self.precond_refine) < 0:
             raise ValueError(f"precond_refine must be >= 0, "
                              f"got {self.precond_refine}")

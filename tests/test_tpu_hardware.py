@@ -181,3 +181,31 @@ def test_compensated_fp64_grade_on_chip():
     assert bool(conv)
     assert e_cmp < 1e-11, e_cmp
     assert e_f32 > 1e-8  # the f32 floor this mode exists to beat
+
+
+def test_banded_stream_fleet_parity_on_chip():
+    """The two-operand stream variant (S + banded stair_refined Pinv both
+    manually DMA'd — tpcg/ops/packed.py _pcg_packed_kernel_stream2) has no
+    interpret support; verify it on chip against per-system jnp solves."""
+    _require_tpu()
+    from tpcg import precond
+    from tpcg.models import trajopt
+    from tpcg.ops.packed import pcg_pallas_packed
+    from tpcg.solver import jnp_backend
+    from tpcg.types import BlockTridiag
+
+    B, n, K = 4, 14, 128
+    Sb, gb = trajopt.batch_systems(jax.random.PRNGKey(21), B, n, K)
+    l0 = jnp.zeros_like(gb)
+    Pb = precond.stair_refined(Sb, levels=1).blocks
+    assert Pb.shape[-3] == 7
+    res = pcg_pallas_packed(Sb.blocks, Pb, gb, l0, exit_tol=1e-6,
+                            max_iter=100, method="pipelined", P=4,
+                            stream=True)
+    assert bool(np.asarray(res.converged).all())
+    for b in range(B):
+        r1 = jnp_backend.pcg_jnp(Sb.blocks[b], Pb[b], gb[b], l0[b],
+                                 exit_tol=1e-6, max_iter=100)
+        np.testing.assert_allclose(np.asarray(res.lam[b]),
+                                   np.asarray(r1.lam), rtol=5e-3,
+                                   atol=5e-3)

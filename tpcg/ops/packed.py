@@ -429,17 +429,18 @@ def _fits_any(state_size, pk, dtype, identity_pinv, precond, method):
 
 
 def _fits_vmem_stream(state_size, pk, dtype, identity_pinv, precond,
-                      method):
+                      method, pinv_pages=3):
     """Stream variant VMEM: the fused (gridless) model — the manual DMA
-    scratch IS the operand buffer, no pipeline double-buffering — plus the
-    small double-buffered vector windows."""
+    scratches ARE the operand buffers, no pipeline double-buffering — plus
+    the small double-buffered vector windows."""
     from tpcg.utils.feasibility import _budget, fused_vmem_bytes
 
     itemsize = jnp.dtype(dtype).itemsize
     n_pad = -(-state_size // 8) * 8
     vec_windows = 3 * n_pad * pk * itemsize
     need = fused_vmem_bytes(state_size, pk, dtype, identity_pinv, precond,
-                            1, method, lean=False) + vec_windows
+                            1, method, lean=False,
+                            pinv_pages=pinv_pages) + vec_windows
     return need <= _budget()
 
 
@@ -531,12 +532,12 @@ def plan_pack(B: int, K: int, state_size: int, dtype=jnp.float32,
     cands.sort()
     _, _, P, K_pad = cands[-1]
     stream = False
-    explicit = (precond in (None, "explicit")) and not identity_pinv
-    if K_pad >= 128 and not explicit:
+    if K_pad >= 128:
         P2 = P * 2  # B_pad below absorbs non-dividing batches
         if P2 * K_pad <= max_lanes and \
                 _fits_vmem_stream(state_size, P2 * K_pad, dtype,
-                                  identity_pinv, precond, method):
+                                  identity_pinv, precond, method,
+                                  pinv_pages=pinv_pages):
             P, stream = P2, True
     B_pad = -(-B // P) * P
     return P, K_pad, B_pad, stream
@@ -615,10 +616,6 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     if precond != "explicit" and Pinv_blocks is not None:
         raise ValueError(f"Pinv_blocks must be None with precond={precond!r}")
     identity_pinv = precond == "identity"
-    if stream and precond == "explicit":
-        raise ValueError("stream=True is implemented for the in-kernel/"
-                         "identity preconditioner paths (one matrix "
-                         "operand to stage)")
     if P is None:
         P = pack_width(B, K, n, dtype, precond=precond,
                        identity_pinv=identity_pinv, method=method)
@@ -668,15 +665,7 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
         jax.ShapeDtypeStruct((B,), jnp.int32),
         jax.ShapeDtypeStruct((B,), dtype),
     )
-    if precond == "explicit":
-        kernel = functools.partial(_pcg_packed_kernel_pinv, **kw)
-        P_p = pack_mats(Pinv_blocks)
-        in_specs = [smem, block((3, n, n, PK)),
-                    block((Pinv_blocks.shape[-3], n, n, PK)),
-                    block((n, PK)), block((n, PK))]
-        operands = (tol, S_p, P_p, gamma_p, lam0_p)
-        scratch = ()
-    elif stream:
+    if stream:
         if interpret:
             raise ValueError("stream=True needs the Mosaic backend "
                              "(manual HBM->VMEM DMA has no interpret "
@@ -688,12 +677,37 @@ def pcg_pallas_packed(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
         n_pad8 = -(-n // 8) * 8
         S_ps = jnp.pad(S_p, ((0, 0), (0, 0), (0, 0), (0, n_pad8 - n),
                              (0, 0)))
-        kernel = functools.partial(_pcg_packed_kernel_stream, **kw)
-        in_specs = [smem, pl.BlockSpec(memory_space=pltpu.ANY),
+        if precond == "explicit":
+            # both matrix operands streamed: S and the (possibly banded
+            # stair_refined) Pinv each get one VMEM scratch + manual DMA
+            Dp = Pinv_blocks.shape[-3]
+            P_ps = jnp.pad(pack_mats(Pinv_blocks),
+                           ((0, 0), (0, 0), (0, 0), (0, n_pad8 - n),
+                            (0, 0)))
+            kernel = functools.partial(_pcg_packed_kernel_stream2, **kw)
+            in_specs = [smem, pl.BlockSpec(memory_space=pltpu.ANY),
+                        pl.BlockSpec(memory_space=pltpu.ANY),
+                        block((n, PK)), block((n, PK))]
+            operands = (tol, S_ps, P_ps, gamma_p, lam0_p)
+            scratch = (pltpu.VMEM((3, n, n_pad8, PK), dtype),
+                       pltpu.VMEM((Dp, n, n_pad8, PK), dtype),
+                       pltpu.SemaphoreType.DMA,
+                       pltpu.SemaphoreType.DMA)
+        else:
+            kernel = functools.partial(_pcg_packed_kernel_stream, **kw)
+            in_specs = [smem, pl.BlockSpec(memory_space=pltpu.ANY),
+                        block((n, PK)), block((n, PK))]
+            operands = (tol, S_ps, gamma_p, lam0_p)
+            scratch = (pltpu.VMEM((3, n, n_pad8, PK), dtype),
+                       pltpu.SemaphoreType.DMA)
+    elif precond == "explicit":
+        kernel = functools.partial(_pcg_packed_kernel_pinv, **kw)
+        P_p = pack_mats(Pinv_blocks)
+        in_specs = [smem, block((3, n, n, PK)),
+                    block((Pinv_blocks.shape[-3], n, n, PK)),
                     block((n, PK)), block((n, PK))]
-        operands = (tol, S_ps, gamma_p, lam0_p)
-        scratch = (pltpu.VMEM((3, n, n_pad8, PK), dtype),
-                   pltpu.SemaphoreType.DMA)
+        operands = (tol, S_p, P_p, gamma_p, lam0_p)
+        scratch = ()
     else:
         kernel = functools.partial(_pcg_packed_kernel_nopinv, **kw)
         in_specs = [smem, block((3, n, n, PK)), block((n, PK)),
@@ -745,6 +759,26 @@ def _pcg_packed_kernel_stream(tol_ref, S_hbm, gamma_ref, lam0_ref,
     cp.wait()
     S_val = S_vmem[...][:, :, :kw["n"], :]
     _pcg_packed_kernel(tol_ref, S_val, None, gamma_ref, lam0_ref,
+                       lam_ref, iters_ref, conv_ref, eta_ref, **kw)
+
+
+def _pcg_packed_kernel_stream2(tol_ref, S_hbm, P_hbm, gamma_ref, lam0_ref,
+                               lam_ref, iters_ref, conv_ref, eta_ref,
+                               S_vmem, P_vmem, dma_sem, dma_sem2, **kw):
+    """Two-operand stream variant (explicit Pinv, incl. banded
+    stair_refined pages): S and Pinv both live in HBM and are DMA'd into
+    single VMEM scratches concurrently before the solve — same padding/
+    value-slice discipline as :func:`_pcg_packed_kernel_stream`."""
+    b = pl.program_id(0)
+    cp = pltpu.make_async_copy(S_hbm.at[b], S_vmem, dma_sem)
+    cq = pltpu.make_async_copy(P_hbm.at[b], P_vmem, dma_sem2)
+    cp.start()
+    cq.start()
+    cp.wait()
+    cq.wait()
+    S_val = S_vmem[...][:, :, :kw["n"], :]
+    P_val = P_vmem[...][:, :, :kw["n"], :]
+    _pcg_packed_kernel(tol_ref, S_val, P_val, gamma_ref, lam0_ref,
                        lam_ref, iters_ref, conv_ref, eta_ref, **kw)
 
 

@@ -102,6 +102,9 @@ def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
     if K % nd != 0:
         raise ValueError(f"knot_points={K} not divisible by mesh axis "
                          f"'{axis_name}' size {nd}")
+    if method in ("fixed", "fixed_pipelined") and stop_on_nonfinite:
+        raise ValueError(f"method={method!r} has no per-iteration tests "
+                         "by design; drop stop_on_nonfinite")
 
     mv = functools.partial(bdmv_knot_sharded, axis_name=axis_name, nd=nd)
 
@@ -124,6 +127,42 @@ def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
             return pipelined_pcg_body(
                 lambda v: mv(S_loc, v), apply_pinv, vdot, g_loc, l_loc,
                 tol, max_iter, stop_on_nonfinite)
+
+        if method == "fixed_pipelined":
+            # bounded-latency mode over collectives: a STATIC trip count
+            # makes identical collective sequences true by construction
+            # (the deadlock invariant this module otherwise maintains with
+            # the psum'd done flag), and the zero-sync recurrence drops
+            # both per-iteration exit psk rounds to one psum for the dots
+            from tpcg.solver.pipelined import fixed_pipelined_body
+            x, eta = fixed_pipelined_body(
+                lambda v: mv(S_loc, v), apply_pinv, vdot, g_loc, l_loc,
+                max_iter)
+            return (x, jnp.asarray(max_iter, jnp.int32),
+                    jnp.abs(eta) < tol, eta)
+
+        if method == "fixed":
+            tiny = jnp.asarray(1e-30, g_loc.dtype)
+            r = g_loc - mv(S_loc, l_loc)
+            rt = apply_pinv(r)
+            eta0 = vdot(r, rt)
+
+            def fbody(_, c):
+                lam, r, p, eta = c
+                ups = mv(S_loc, p)
+                alpha = eta / (vdot(p, ups) + tiny)
+                lam = lam + alpha * p
+                r = r - alpha * ups
+                rt = apply_pinv(r)
+                eta_new = vdot(r, rt)
+                beta = eta_new / (eta + tiny)
+                p = rt + beta * p
+                return (lam, r, p, eta_new)
+
+            lam, r, p, eta = jax.lax.fori_loop(
+                0, max_iter, fbody, (l_loc, r, rt, eta0))
+            return (lam, jnp.asarray(max_iter, jnp.int32),
+                    jnp.abs(eta) < tol, eta)
 
         r = g_loc - mv(S_loc, l_loc)
         rt = apply_pinv(r)

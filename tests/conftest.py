@@ -29,9 +29,42 @@ jax.config.update("jax_enable_x64", True)
 # tracked .jax_cache holds TPU executables for bench): most suite time is
 # XLA-compiling small while-loop solvers per shape; warm runs are much
 # faster.
+#
+# HAZARD (observed as a SIGSEGV mid-suite): XLA:CPU AOT cache entries are
+# NOT keyed by host CPU features, and loading an executable compiled on a
+# machine with different features can crash ("Machine type used for
+# XLA:CPU compilation doesn't match..." warnings precede it). Stamp the
+# cache with this host's CPU feature fingerprint and wipe it on mismatch.
 _cache = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache_tests")
 os.makedirs(_cache, exist_ok=True)
+
+
+def _host_fingerprint() -> str:
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:16]
+    except OSError:
+        pass
+    import platform
+    return platform.processor() or "unknown"
+
+
+_stamp = os.path.join(_cache, "HOST_FINGERPRINT")
+_fp = _host_fingerprint()
+try:
+    _old = open(_stamp).read()
+except OSError:
+    _old = None
+if _old != _fp:
+    import shutil
+    shutil.rmtree(_cache, ignore_errors=True)
+    os.makedirs(_cache, exist_ok=True)
+    with open(_stamp, "w") as f:
+        f.write(_fp)
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 

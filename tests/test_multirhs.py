@@ -139,3 +139,37 @@ def test_multirhs_pipelined_frozen_rhs(rng):
     assert int(res.iters[0]) == 0 and bool(res.converged[0])
     assert bool(res.converged[1])
     assert np.all(np.asarray(res.lam[0]) == 0)
+
+
+@pytest.mark.parametrize("method", ["fixed", "fixed_pipelined"])
+def test_multirhs_fixed_modes(method):
+    """Bounded-latency modes for joint right-hand sides: every rhs runs
+    exactly max_iter passes; results match per-rhs single-system fixed
+    oracles against the true solutions."""
+    import tpcg
+    from tpcg.solver.jnp_backend import pcg_fixed_jnp
+    from tpcg.solver.pipelined import pcg_fixed_pipelined_jnp
+    from tpcg.ops.multirhs import pcg_pallas_multirhs
+
+    R, n, K, budget = 3, 4, 12, 50
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(71), n, K,
+                               dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(72), (R, K, n), jnp.float32)
+    l0 = jnp.zeros_like(g)
+    res = pcg_pallas_multirhs(S.blocks, g, l0, exit_tol=1e-7,
+                              max_iter=budget,
+                              precond="symmetric_stair", method=method,
+                              interpret=True)
+    assert np.all(np.asarray(res.iters) == budget)
+    A = np.asarray(S.dense(), np.float64)
+    for i in range(R):
+        assert bool(res.converged[i])
+        x = np.linalg.solve(A, np.asarray(g[i], np.float64).reshape(-1))
+        np.testing.assert_allclose(np.asarray(res.lam[i]).reshape(-1), x,
+                                   rtol=5e-3, atol=1e-3)
+    # public API routes it too (jnp fallback off-TPU)
+    cfg = tpcg.PCGConfig(exit_tol=1e-7, max_iter=budget,
+                         preconditioner="symmetric_stair", method=method)
+    r_api = tpcg.pcg_solve_multirhs(S, g, config=cfg, backend="jnp")
+    assert np.all(np.asarray(r_api.iters) == budget)
+    assert bool(np.asarray(r_api.converged).all())

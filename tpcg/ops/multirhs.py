@@ -75,8 +75,52 @@ def _multirhs_kernel(tol_ref, S_ref, gamma_ref, lam0_ref,
     vdot = lambda a, b: jnp.sum(jnp.sum(a * b, axis=2), axis=1,
                                 keepdims=True)                 # (R, 1)
 
-    if method not in ("classic", "pipelined"):
+    if method not in ("classic", "pipelined", "fixed", "fixed_pipelined"):
         raise ValueError(f"bad method {method!r}")
+
+    # (R, 1, 1)-shaped per-rhs scalars broadcast directly against the
+    # (R, n, K) vectors — the fixed-budget bodies need no masks at all
+    vdot3 = lambda a, b: jnp.sum(jnp.sum(a * b, axis=2, keepdims=True),
+                                 axis=1, keepdims=True)
+
+    if method == "fixed_pipelined":
+        from tpcg.solver.pipelined import fixed_pipelined_body
+        lam, eta3 = fixed_pipelined_body(mv, apply_pinv, vdot3, gamma,
+                                         lam0, max_iter)
+        lam_ref[...] = lam
+        for i in range(R):
+            iters_ref[i] = jnp.int32(max_iter)
+            conv_ref[i] = (jnp.abs(eta3[i, 0, 0]) < tol).astype(jnp.int32)
+            eta_ref[i] = eta3[i, 0, 0]
+        return
+
+    if method == "fixed":
+        tiny = jnp.asarray(1e-30, gamma.dtype)
+        r = gamma - mv(lam0)
+        rt = apply_pinv(r)
+        eta = vdot3(r, rt)
+
+        def fbody(_, c):
+            lam, r, p, eta = c
+            ups = mv(p)
+            alpha = eta / (vdot3(p, ups) + tiny)
+            lam = lam + alpha * p
+            r = r - alpha * ups
+            rt = apply_pinv(r)
+            eta_new = vdot3(r, rt)
+            beta = eta_new / (eta + tiny)
+            p = rt + beta * p
+            return (lam, r, p, eta_new)
+
+        lam, r, p, eta3 = jax.lax.fori_loop(0, max_iter, fbody,
+                                            (lam0, r, rt, eta))
+        lam_ref[...] = lam
+        for i in range(R):
+            iters_ref[i] = jnp.int32(max_iter)
+            conv_ref[i] = (jnp.abs(eta3[i, 0, 0]) < tol).astype(jnp.int32)
+            eta_ref[i] = eta3[i, 0, 0]
+        return
+
     if method == "pipelined":
         lam, iters, conv32, eta = _multirhs_pipelined_loop(
             mv, apply_pinv, vdot, gamma, lam0, tol, max_iter, R)

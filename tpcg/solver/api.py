@@ -296,11 +296,11 @@ def pcg_solve_multirhs(S, gamma, lam0=None, *,
     if lam0.shape != gamma.shape:
         raise ValueError(f"lam0 shape {lam0.shape} != gamma {gamma.shape}")
 
-    if config.method in ("fixed", "fixed_pipelined", "speculative"):
+    if config.method == "speculative":
         raise ValueError("pcg_solve_multirhs supports classic/pipelined/"
-                         "block; the fixed-budget/speculative modes are "
-                         "single-system (pcg_solve) / batched "
-                         "(pcg_solve_batched) only")
+                         "fixed/fixed_pipelined/block; the speculative "
+                         "mode is single-system (pcg_solve) only")
+    _check_fixed_guard(config)
     if config.accumulate != "f32":
         raise ValueError("accumulate='compensated' is single-system "
                          "(pcg_solve) only")

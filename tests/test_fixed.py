@@ -77,11 +77,13 @@ def test_fixed_through_public_api_and_pallas_interpret():
                                rtol=2e-4, atol=2e-5)
 
 
-def test_fixed_rejected_where_unsupported():
+def test_speculative_rejected_where_unsupported():
+    """multi-RHS gained the fixed modes in round 3; only the two-phase
+    speculative mode stays single-system."""
     import tpcg
 
     S, g = _sys(seed=9)
-    cfg = PCGConfig(max_iter=10, method="fixed")
+    cfg = PCGConfig(max_iter=10, method="speculative")
     with pytest.raises(ValueError, match="single-system"):
         tpcg.pcg_solve_multirhs(S, jnp.stack([g, g]), config=cfg)
 

@@ -107,14 +107,11 @@ def _fk(model: ChainModel, q):
     return Rs, jnp.stack(coms), jnp.stack(joints), jnp.stack(axes_w)
 
 
-def mass_matrix(model: ChainModel, q):
-    """Joint-space inertia ``M(q)`` (N, N), symmetric positive definite.
-
-    Geometric (closed-form) Jacobians: for link i and revolute joint
-    j <= i, the COM velocity column is ``axis_j x (com_i - p_j)`` and the
-    angular column is ``axis_j``."""
+def _mass_from_fk(model: ChainModel, fk, dtype):
+    """Assemble ``M`` from precomputed forward kinematics (shared between
+    :func:`mass_matrix` and the fused Lagrangian closures)."""
     N = model.n_joints
-    Rs, coms, joints, axes_w = _fk(model, q)
+    Rs, coms, joints, axes_w = fk
     mask = (jnp.arange(N)[:, None] >= jnp.arange(N)[None, :])  # (i, j)
     # arms[i, j] = com_i - p_j ; columns masked to j <= i
     arms = coms[:, None, :] - joints[None, :, :]               # (N, N, 3)
@@ -123,12 +120,21 @@ def mass_matrix(model: ChainModel, q):
     Jv = jnp.swapaxes(Jv, 1, 2)                                # (N, 3, N)
     Jw = jnp.where(mask[:, None, :],
                    jnp.swapaxes(axes_w, 0, 1)[None, :, :], 0.0)  # (N, 3, N)
-    M = jnp.zeros((N, N), q.dtype)
+    M = jnp.zeros((N, N), dtype)
     for i in range(N):
-        Iw = Rs[i] @ model.inertias[i].astype(q.dtype) @ Rs[i].T
+        Iw = Rs[i] @ model.inertias[i].astype(dtype) @ Rs[i].T
         M = M + model.masses[i] * Jv[i].T @ Jv[i] \
             + Jw[i].T @ Iw @ Jw[i]
-    return M + jnp.diag(model.armature.astype(q.dtype))
+    return M + jnp.diag(model.armature.astype(dtype))
+
+
+def mass_matrix(model: ChainModel, q):
+    """Joint-space inertia ``M(q)`` (N, N), symmetric positive definite.
+
+    Geometric (closed-form) Jacobians: for link i and revolute joint
+    j <= i, the COM velocity column is ``axis_j x (com_i - p_j)`` and the
+    angular column is ``axis_j``."""
+    return _mass_from_fk(model, _fk(model, q), q.dtype)
 
 
 def _potential(model: ChainModel, q):
@@ -151,22 +157,44 @@ def com_jacobians(model: ChainModel, q):
     return jnp.swapaxes(Jv, 1, 2), Jw
 
 
+def _mass_and_bias(model: ChainModel, q, qd):
+    """``(M, b)`` with the autodiff passes SHARED (the NMPC linearize
+    hotspot: the SQP layer's jacfwd multiplies every pass by ~n+m
+    tangents, and on TPU these deep chains of tiny ops are latency-bound
+    — bench.py measured the linearize at ~5.6 ms of a 13.7 ms control
+    step at K=128 before this refactor):
+
+    * ONE jvp of ``q -> M(q)`` in direction ``qd`` yields both the primal
+      ``M`` (reused for the solve) and ``(dM/dq qd)``, whose product with
+      ``qd`` is the first Coriolis term;
+    * ONE gradient of the combined scalar ``V(q) - T(q, qd)`` replaces the
+      separate ``dT/dq`` and ``dV/dq`` passes (and shares the fk between
+      the potential and kinetic terms).
+    """
+    M, dM_qd = jax.jvp(lambda qq: mass_matrix(model, qq), (q,), (qd,))
+
+    def neg_lagrangian_q(qq):
+        fk = _fk(model, qq)                  # ONE fk for both T and V
+        Mq = _mass_from_fk(model, fk, qq.dtype)
+        V = model.gravity * jnp.sum(model.masses.astype(qq.dtype) *
+                                    fk[1][:, 2])
+        return V - 0.5 * qd @ Mq @ qd
+
+    b = dM_qd @ qd + jax.grad(neg_lagrangian_q)(q)
+    return M, b
+
+
 def bias_forces(model: ChainModel, q, qd):
     """Coriolis/centrifugal + gravity torques ``b(q, qd)`` such that
     ``M(q) qdd + b(q, qd) = tau`` (no damping). Derived by autodiff of the
     Lagrangian: ``b = (d/dq (M qd)) qd - dT/dq + dV/dq``."""
-    Mqd = lambda qq: mass_matrix(model, qq) @ qd
-    _, dMqd_qd = jax.jvp(Mqd, (q,), (qd,))              # (d(M qd)/dq) qd
-    T = lambda qq: 0.5 * qd @ mass_matrix(model, qq) @ qd
-    return dMqd_qd - jax.grad(T)(q) + jax.grad(
-        lambda qq: _potential(model, qq))(q)
+    return _mass_and_bias(model, q, qd)[1]
 
 
 def forward_dynamics(model: ChainModel, q, qd, tau):
     """``qdd = M(q)^{-1} (tau - damping qd - b(q, qd))``."""
-    M = mass_matrix(model, q)
-    rhs = tau - model.damping.astype(q.dtype) * qd - bias_forces(model, q,
-                                                                 qd)
+    M, b = _mass_and_bias(model, q, qd)
+    rhs = tau - model.damping.astype(q.dtype) * qd - b
     with jax.default_matmul_precision("highest"):
         return jnp.linalg.solve(M, rhs)
 

@@ -17,6 +17,21 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Raise the stack soft-limit to the hard limit BEFORE jax/XLA initialize:
+# XLA:CPU compilation of the largest SQP graphs (vmapped jacfwd over
+# rigid-body RK4) has been observed to SIGSEGV mid-suite inside
+# backend_compile_and_load — the signature of an LLVM stack overflow on a
+# deep module with the default 8 MiB stack.
+import resource  # noqa: E402
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY and (_hard == resource.RLIM_INFINITY
+                                        or _soft < _hard):
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+    except (ValueError, OSError):
+        pass
+
 import jax  # noqa: E402
 
 if not os.environ.get("TPCG_TEST_TPU"):

@@ -87,14 +87,51 @@ def test_energy_conservation_undamped():
 def test_manipulator_reach_through_sqp():
     """The full MPCGPU-shaped stack at the reference's benchmark scale
     (n=14): nonlinear rigid-body dynamics -> Gauss-Newton SQP -> LQR-KKT
-    Schur complement -> PCG. Converges and closes the defects."""
-    from tpcg.models.sqp import sqp_solve
+    Schur complement -> PCG. Converges and closes the defects.
 
-    p = manipulator_reach_problem(K=12, dt=0.03)
-    res = sqp_solve(p, max_sqp_iters=15, defect_tol=1e-3, step_tol=1e-3)
-    assert res.defect < 1e-3
-    assert res.history[-1]["cost"] < res.history[0]["cost"]
-    # moves decisively toward the goal configuration
-    q_end = np.asarray(res.x[-1][:7])
-    q_goal = np.asarray([0.5, 0.4, -0.3, 0.6, 0.2, -0.4, 0.3])
-    assert np.linalg.norm(q_end - q_goal) < 0.5 * np.linalg.norm(q_goal)
+    Runs in a SUBPROCESS: XLA:CPU's compile of this graph (the suite's
+    largest — vmapped jacfwd over rigid-body RK4 inside the jitted SQP
+    iteration) SIGSEGVs nondeterministically ~270 tests into a long
+    pytest process (observed at exactly this test across three full-suite
+    runs; a fresh process — solo file run or the pair with its
+    alphabetical predecessor — always passes). Process isolation plus the
+    shared persistent compile cache make it robust AND fast when warm."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    import jax
+
+    cache = jax.config.jax_compilation_cache_dir
+    code = textwrap.dedent(f"""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        if {cache!r}:
+            jax.config.update("jax_compilation_cache_dir", {cache!r})
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.1)
+        import numpy as np
+        from tpcg.models.rigid_body import manipulator_reach_problem
+        from tpcg.models.sqp import sqp_solve
+
+        p = manipulator_reach_problem(K=12, dt=0.03)
+        res = sqp_solve(p, max_sqp_iters=15, defect_tol=1e-3,
+                        step_tol=1e-3)
+        assert res.defect < 1e-3, res.defect
+        assert res.history[-1]["cost"] < res.history[0]["cost"]
+        q_end = np.asarray(res.x[-1][:7])
+        q_goal = np.asarray([0.5, 0.4, -0.3, 0.6, 0.2, -0.4, 0.3])
+        assert (np.linalg.norm(q_end - q_goal)
+                < 0.5 * np.linalg.norm(q_goal))
+        print("REACH_OK")
+    """)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=1500,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert out.returncode == 0 and "REACH_OK" in out.stdout, (
+        out.returncode, out.stdout[-1000:], out.stderr[-3000:])

@@ -47,3 +47,11 @@ def test_sqp_quadrotor_example(capsys):
     _run("sqp_quadrotor")
     out = capsys.readouterr().out
     assert "converged=True" in out
+
+
+def test_solver_modes_example(capsys):
+    _run("solver_modes")
+    out = capsys.readouterr().out
+    assert out.count("converged=True") == 5
+    # the compensated row reaches deep-tolerance accuracy even off-chip
+    assert "compensated DF" in out

@@ -194,11 +194,16 @@ def main():
             def fused_ref(S_, P_, g_, l_):
                 import tpcg
                 from tpcg.types import BlockTridiag, PCGConfig
+                # replace_every=0: with the strong materialized
+                # preconditioner the fp32 drift never materializes
+                # (validated to K=512), and dropping the in-loop cadence
+                # guard + the one firing measured 13.5 -> 10.8 us
                 return tpcg.pcg_solve(
                     BlockTridiag(S_), g_, l_,
                     config=PCGConfig(exit_tol=1e-6, max_iter=100,
                                      preconditioner="stair_refined",
-                                     method="pipelined"))
+                                     method="pipelined",
+                                     replace_every=0))
             r_ref = fused_ref(S.blocks, None, g, jnp.zeros_like(g))
             t_ref = device_solve_time(fused_ref, S.blocks, S.blocks, g,
                                       jnp.zeros_like(g))

@@ -203,3 +203,34 @@ def test_gj_inverse_fori_matches_unrolled(rng):
     for k in range(K):
         np.testing.assert_allclose(inv_f[:, :, k], np.linalg.inv(A[:, :, k]),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_pipelined_replace_every_zero_converges():
+    """replace_every=0 (the headline setting with stair_refined): both
+    backends converge and match the true solution; the in-loop cadence
+    machinery is gone but the adaptive exit still works."""
+    import tpcg
+    from tpcg import layout
+
+    S = layout.random_spd_cbtd(jax.random.PRNGKey(41), 6, 32,
+                               dtype=jnp.float32)
+    g = jax.random.normal(jax.random.PRNGKey(42), (32, 6), jnp.float32)
+    cfg = tpcg.PCGConfig(exit_tol=1e-7, max_iter=200,
+                         preconditioner="stair_refined",
+                         method="pipelined", replace_every=0)
+    r_jnp = tpcg.pcg_solve(S, g, config=cfg, backend="jnp")
+    assert bool(r_jnp.converged)
+    from tpcg import precond
+    from tpcg.solver import pallas_backend
+    Pb = precond.stair_refined(S, levels=1).blocks
+    r_pal = pallas_backend.pcg_pallas(
+        S.blocks, Pb, g, jnp.zeros_like(g), exit_tol=1e-7, max_iter=200,
+        method="pipelined", replace_every=0, interpret=True)
+    assert bool(r_pal.converged)
+    x = np.linalg.solve(np.asarray(S.dense(), np.float64),
+                        np.asarray(g, np.float64).reshape(-1))
+    for r in (r_jnp, r_pal):
+        np.testing.assert_allclose(np.asarray(r.lam).reshape(-1), x,
+                                   rtol=2e-3, atol=2e-4)
+    with pytest.raises(ValueError, match="replace_every"):
+        tpcg.PCGConfig(replace_every=-1)

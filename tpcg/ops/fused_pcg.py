@@ -72,7 +72,7 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                 lam_ref, iters_ref, conv_ref, eta_ref, trace_ref=None,
                 *, n, K, max_iter, precond, stop_on_nonfinite=False,
                 method="classic", out_idx=0, lean=False,
-                precond_refine=0, spec_budget=0):
+                precond_refine=0, spec_budget=0, replace_every=16):
     """Kernel body.
 
     ``precond`` selects the preconditioner strategy:
@@ -253,7 +253,8 @@ def _pcg_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
             trace_store = lambda i, e: trace_ref.__setitem__(i, e[0, 0])
         lam, iters, converged, eta = pipelined_pcg_body(
             mv, apply_pinv, vdot11, gamma, lam0, tol, max_iter,
-            stop_on_nonfinite, trace_store=trace_store)
+            stop_on_nonfinite, replace_every=replace_every,
+            trace_store=trace_store)
         lam_ref[:, :] = lam
         iters_ref[out_idx] = iters
         conv_ref[out_idx] = converged.astype(jnp.int32)
@@ -335,13 +336,14 @@ def _pcg_kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref, *out_refs, **kw):
                    static_argnames=("max_iter", "precond",
                                     "stop_on_nonfinite", "method",
                                     "lean", "precond_refine", "debug_eta",
-                                    "spec_budget", "interpret"))
+                                    "spec_budget", "replace_every",
+                                    "interpret"))
 def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
                          exit_tol, max_iter: int, precond: str = None,
                          stop_on_nonfinite: bool = False,
                          method: str = "classic", lean: bool = False,
                          precond_refine: int = 0, debug_eta: bool = False,
-                         spec_budget: int = 0,
+                         spec_budget: int = 0, replace_every: int = 16,
                          interpret: bool = False):
     """Run the fused solve on lane-major inputs.
 
@@ -374,7 +376,8 @@ def fused_pcg_lane_major(S_lm, Pinv_lm, gamma_lm, lam0_lm, *,
 
     kw = dict(n=n, K=K, max_iter=max_iter, precond=precond, method=method,
               stop_on_nonfinite=stop_on_nonfinite, lean=lean,
-              precond_refine=precond_refine, spec_budget=spec_budget)
+              precond_refine=precond_refine, spec_budget=spec_budget,
+              replace_every=replace_every)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if precond == "explicit":
         kernel = functools.partial(_pcg_kernel, **kw)

@@ -170,6 +170,8 @@ def pcg_solve(S, gamma, lam0=None, *,
 
     spec_kw = ({"spec_budget": config.spec_budget}
                if config.method == "speculative" else {})
+    if config.method == "pipelined":
+        spec_kw["replace_every"] = config.replace_every
     if backend == "jnp":
         pblocks = S.blocks if identity else Pinv.blocks
         return _jnp_solver(config.method)(

@@ -20,12 +20,13 @@ from tpcg.types import PCGResult
                    static_argnames=("max_iter", "precond",
                                     "stop_on_nonfinite", "method",
                                     "precond_refine", "debug_eta",
-                                    "spec_budget", "interpret"))
+                                    "spec_budget", "replace_every",
+                                    "interpret"))
 def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                max_iter: int, precond: str = None,
                stop_on_nonfinite: bool = False, method: str = "classic",
                precond_refine: int = 0, debug_eta: bool = False,
-               spec_budget: int = 0,
+               spec_budget: int = 0, replace_every: int = 16,
                interpret: bool = False):
     """Single-system fused solve; canonical layout in/out.
 
@@ -53,7 +54,8 @@ def pcg_pallas(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
         max_iter=max_iter, precond=precond, method=method,
         stop_on_nonfinite=stop_on_nonfinite, lean=lean,
         precond_refine=precond_refine, debug_eta=debug_eta,
-        spec_budget=spec_budget, interpret=interpret)
+        spec_budget=spec_budget, replace_every=replace_every,
+        interpret=interpret)
     lam_lm, iters, conv, eta = out[:4]
     res = PCGResult(lam=jnp.swapaxes(lam_lm, -1, -2), iters=iters,
                     converged=conv, eta=eta)

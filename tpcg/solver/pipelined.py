@@ -350,11 +350,13 @@ def pcg_fixed_pipelined_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
 
 @functools.partial(jax.jit, static_argnames=("max_iter", "identity_pinv",
                                              "stop_on_nonfinite",
-                                             "precond_refine"))
+                                             "precond_refine",
+                                             "replace_every"))
 def pcg_pipelined_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
                       max_iter: int, identity_pinv: bool = False,
                       stop_on_nonfinite: bool = False,
-                      precond_refine: int = 0) -> PCGResult:
+                      precond_refine: int = 0,
+                      replace_every: int = 16) -> PCGResult:
     """Pipelined method on the jnp backend (oracle for the fused version)."""
     exit_tol = jnp.asarray(exit_tol, gamma.dtype)
     mv = lambda v: bdmv(S_blocks, v)
@@ -369,5 +371,5 @@ def pcg_pipelined_jnp(S_blocks, Pinv_blocks, gamma, lam0, *, exit_tol,
     vdot = lambda a, b: jnp.sum(a * b)
     x, iters, conv, eta = pipelined_pcg_body(
         mv, apply_pinv, vdot, gamma, lam0, exit_tol, max_iter,
-        stop_on_nonfinite)
+        stop_on_nonfinite, replace_every=replace_every)
     return PCGResult(lam=x, iters=iters, converged=conv, eta=eta)

@@ -89,6 +89,19 @@ class PCGConfig:
     #: control step's iteration count.
     spec_budget: int = dataclasses.field(default=0,
                                          metadata=dict(static=True))
+    #: Residual-replacement cadence for method="pipelined" (single-system
+    #: paths; fleets/sharded keep the default). The pipelined recurrences
+    #: drift in fp32 and the default (16) periodically recomputes the
+    #: auxiliary vectors — but the in-loop cadence guard is a real
+    #: per-iteration sync cost and each firing costs ~6 operator applies.
+    #: MEASURED (iiwa14 K=128, stair_refined, on chip): replace_every=0
+    #: solves in 10.8 µs / 26 iters vs 13.5 µs / 25 with the default —
+    #: with a strong preconditioner (few iterations) the drift never
+    #: materializes (K=512 also converges in 28 iters without
+    #: replacement) and 0 is the right setting; keep the default for
+    #: weakly preconditioned or very long solves.
+    replace_every: int = dataclasses.field(default=16,
+                                           metadata=dict(static=True))
     #: Accumulation precision: "f32" (native) or "compensated" — f32
     #: storage with double-float (~48-bit) in-kernel accumulation of the
     #: residual recurrence and dots (tpcg/ops/compensated.py), serving
@@ -131,6 +144,9 @@ class PCGConfig:
         if self.accumulate not in ("f32", "compensated"):
             raise ValueError(f"accumulate must be 'f32' or 'compensated', "
                              f"got {self.accumulate!r}")
+        if int(self.replace_every) < 0:
+            raise ValueError(f"replace_every must be >= 0, "
+                             f"got {self.replace_every}")
 
 
 class PCGResult(NamedTuple):

@@ -510,7 +510,7 @@ def pcg_rdma_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
 def _fleet_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                   lam_ref, iters_ref, conv_ref, eta_ref,
                   send_l, send_r, recvA_l, recvA_r, recvB_l, recvB_r,
-                  mbA, mbB, part_buf,
+                  mbA, mbB, part_buf, part2_buf,
                   hsend_l, hsend_r, hrecvA_l, hrecvA_r, hrecvB_l, hrecvB_r,
                   mb_send, mbA_recv, mbB_recv,
                   *, n, Kd, B, D, L, max_iter, axis_name,
@@ -655,7 +655,7 @@ def _fleet_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
         partials: every device posts its row, waits for all D arrivals,
         reduces rows in fixed order — per-system sums land replicated on
         every lane of their segment, on every device."""
-        part_buf[...] = t
+        part_buf[...] = jnp.broadcast_to(t, part_buf.shape)
         copies = []
         for k in range(D):
             c = pltpu.make_async_remote_copy(
@@ -670,6 +670,39 @@ def _fleet_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                    < jnp.int32(D))
         return jnp.sum(jnp.where(rowmask, mb[...], 0.0), axis=0,
                        keepdims=True)
+
+    def allreduce2(ta, tb, mb, mb_recv):
+        """Combined all-reduce of TWO (1, L) partial rows in ONE mailbox
+        round — the fleet analog of the single-system kernel's two-scalar
+        payload (lanes 0/1 there, a TWO-ROW payload here: the per-system
+        lanes already fill the lane dim). Device k posts rows
+        [2k, 2k+1]; even rows sum to the first result, odd rows to the
+        second. Same A/B alternation contract as :func:`allreduce`; needs
+        ``mb_rows >= 2 D`` (sized by the caller for pipelined)."""
+        part2_buf[...] = jnp.concatenate(
+            [jnp.broadcast_to(ta, (1, L)), jnp.broadcast_to(tb, (1, L))],
+            axis=0)
+        copies = []
+        for k in range(D):
+            c = pltpu.make_async_remote_copy(
+                src_ref=part2_buf, dst_ref=mb.at[pl.ds(2 * my, 2), :],
+                send_sem=mb_send, recv_sem=mb_recv,
+                device_id=jnp.int32(k), device_id_type=_LOGICAL)
+            c.start()
+            copies.append(c)
+        for c in copies:
+            c.wait()
+        row = jax.lax.broadcasted_iota(jnp.int32, (mb_rows, L), 0)
+        valid = row < jnp.int32(2 * D)
+        even = jnp.logical_and(valid,
+                               jax.lax.rem(row, jnp.int32(2))
+                               == jnp.int32(0))
+        odd = jnp.logical_and(valid,
+                              jax.lax.rem(row, jnp.int32(2))
+                              == jnp.int32(1))
+        sa = jnp.sum(jnp.where(even, mb[...], 0.0), axis=0, keepdims=True)
+        sb = jnp.sum(jnp.where(odd, mb[...], 0.0), axis=0, keepdims=True)
+        return sa, sb
 
     def vdot_local(a, b):
         from tpcg.ops.packed import _seg_allreduce
@@ -709,14 +742,16 @@ def _fleet_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
             active = done32 == jnp.int32(0)
             ep = vdot_local(r, u)
             dp = vdot_local(w, u)
-            # two rounds per iteration in strict global alternation with
-            # the init round (A): B, A | B, A | ... — the fleet payload
-            # carries per-system lanes, so the single-system kernel's
-            # combined two-scalar round (allreduce2) does not transfer
-            # directly; a taller two-row payload could recover the single
-            # sync point later
-            eta = allreduce(ep, mbB, mbB_recv)
-            delta = allreduce(dp, mbA, mbA_recv)
+            # ONE two-row mailbox round per iteration (allreduce2) — the
+            # single sync point that is the pipelined method's whole value
+            # over ICI. Rounds alternate A (init), B, A, B ... by step
+            # parity, identical on every device.
+            use_B = jax.lax.rem(step, jnp.int32(2)) == 0
+            eta, delta = jax.lax.cond(
+                use_B,
+                lambda _: allreduce2(ep, dp, mbB, mbB_recv),
+                lambda _: allreduce2(ep, dp, mbA, mbA_recv),
+                None)
             eta = jnp.where(active, eta, eta_prev)
             m = apply_pinv(w, exx)
             nn = mv(m, exx)
@@ -833,7 +868,9 @@ def pcg_rdma_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
                          f"{method!r}")
     Kd = K // D
     L = B * Kd
-    mb_rows = max(8, -(-D // 8) * 8)
+    # pipelined posts a TWO-ROW payload per device (combined eta/delta
+    # round — allreduce2); classic posts one row per device
+    mb_rows = max(8, -(-(2 * D if method == "pipelined" else D) // 8) * 8)
     dtype = S_blocks.dtype
     tol = jnp.asarray([exit_tol], dtype)
 
@@ -882,6 +919,7 @@ def pcg_rdma_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
                 pltpu.VMEM((mb_rows, L), dtype),   # mailbox A
                 pltpu.VMEM((mb_rows, L), dtype),   # mailbox B
                 pltpu.VMEM((1, L), dtype),     # partial broadcast buffer
+                pltpu.VMEM((2, L), dtype),     # two-row payload (pipelined)
                 pltpu.SemaphoreType.DMA,       # hsend_l
                 pltpu.SemaphoreType.DMA,       # hsend_r
                 pltpu.SemaphoreType.DMA,       # hrecvA_l

@@ -303,12 +303,13 @@ def main():
     st = sim.state
     g_carrier = jnp.broadcast_to(st.X[0], st.X.shape)  # row 0 = x_measured
 
-    # (a) the FULL control step: rigid-body linearize (vmapped jacfwd of
-    # RK4 Lagrangian dynamics) + assemble + warm-started PCG + recovery.
-    # Measured breakdown (v5e, device-chained): the dynamics autodiff
-    # dominates (~5.6 ms linearize + ~1.5 ms defects of a ~13.7 ms step —
-    # deep sequential small-op graphs are latency-bound on TPU); the
-    # solver core is the remaining few ms and is what the solver stack
+    # (a) the FULL control step: rigid-body linearize (one combined
+    # forward-mode pass — A, B, and the defect primal from a single
+    # jax.linearize, see sqp._linearize) + assemble + warm-started PCG +
+    # recovery. Measured breakdown (v5e, device-chained): the dynamics
+    # tangents still dominate (~5.5 ms of a ~7.2 ms step — deep
+    # sequential small-op graphs are latency-bound on TPU); the solver
+    # core is the remaining ~1.7 ms and is what the solver stack
     # controls, hence row (b).
     qp_n, _ = nmpc.rti_setup(p_n, config=cfg_n)
 
@@ -328,9 +329,9 @@ def main():
 
     # (b) the QP CORE at a fixed linearization: LQR-KKT assembly + Schur
     # system + warm-started PCG + primal recovery — fused vs pure-XLA
-    from tpcg.models.sqp import _defects, _linearize, _qp_step
-    A_n, B_n = jax.jit(lambda X, U: _linearize(p_n, X, U))(st.X, st.U)
-    d_n = jax.jit(lambda X, U: _defects(p_n, X, U))(st.X, st.U)
+    from tpcg.models.sqp import _linearize, _qp_step
+    A_n, B_n, F_n = jax.jit(lambda X, U: _linearize(p_n, X, U))(st.X, st.U)
+    d_n = F_n - st.X[1:]
     for name, bk in (("fused stair_refined", "auto"), ("pure-XLA", "jnp")):
         core = jax.jit(lambda A_, B_, d_, l_, bk=bk: _qp_step(
             p_n, st.X, st.U, 1e-6, cfg_n, x_init=st.X[0], lam0=l_,

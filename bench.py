@@ -303,14 +303,12 @@ def main():
     st = sim.state
     g_carrier = jnp.broadcast_to(st.X[0], st.X.shape)  # row 0 = x_measured
 
-    # (a) the FULL control step: rigid-body linearize (one combined
-    # forward-mode pass — A, B, and the defect primal from a single
-    # jax.linearize, see sqp._linearize) + assemble + warm-started PCG +
-    # recovery. Measured breakdown (v5e, device-chained): the dynamics
-    # tangents still dominate (~5.5 ms of a ~7.2 ms step — deep
-    # sequential small-op graphs are latency-bound on TPU); the solver
-    # core is the remaining ~1.7 ms and is what the solver stack
-    # controls, hence row (b).
+    # (a) the FULL control step: lane-major rigid-body linearize
+    # (tpcg/models/rbd_lane.py — K-trailing layout, one forward-mode
+    # pass for A/B/defects; 0.59 ms vs 9.8 ms for the round-2 two-pass
+    # jacfwd route) + assemble + warm-started PCG + recovery. Measured
+    # v5e, device-chained: ~1.9 ms/step total (was 13.7 ms in round 2);
+    # the QP core of row (b) now dominates the step.
     qp_n, _ = nmpc.rti_setup(p_n, config=cfg_n)
 
     def step_fn(X_, U_, g_, l_):

@@ -272,11 +272,17 @@ def iiwa14_like(damping: float = 0.1, armature: float = 0.15,
 
 def manipulator_reach_problem(K: int = 32, dt: float = 0.02,
                               model: ChainModel = None,
-                              q_goal=None, dtype=jnp.float32):
+                              q_goal=None, dtype=jnp.float32,
+                              lane_linearizer: bool = True):
     """Nonlinear manipulator trajectory optimization (n=14, m=7 — the
     reference's iiwa14 benchmark shape) as a ``TrajOptProblem`` for
     :func:`tpcg.models.sqp.sqp_solve`: swing from hanging rest to a goal
-    configuration through full rigid-body dynamics."""
+    configuration through full rigid-body dynamics.
+
+    ``lane_linearizer=True`` (default) injects the lane-major trajectory
+    linearizer (tpcg/models/rbd_lane.py — same physics, K-trailing
+    layout; measured 0.59 ms vs 5.5 ms for the jacfwd route at K=128 on
+    v5e); set False to linearize by jacfwd over ``dynamics``."""
     from tpcg.models.sqp import TrajOptProblem
 
     model = model or iiwa14_like(dtype=dtype)
@@ -294,5 +300,9 @@ def manipulator_reach_problem(K: int = 32, dt: float = 0.02,
     r = jnp.zeros((K - 1, m), dtype)
     dyn = lambda x, u: rk4_step(model, x, u, dt)
     x_init = jnp.zeros(n, dtype)
+    lin = None
+    if lane_linearizer:
+        from tpcg.models.rbd_lane import make_lane_linearizer
+        lin = make_lane_linearizer(model, dt)
     return TrajOptProblem(dynamics=dyn, Q=Q, q=q_lin, R=R, r=r,
-                          x_init=x_init)
+                          x_init=x_init, linearize=lin)

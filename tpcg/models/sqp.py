@@ -46,6 +46,12 @@ class TrajOptProblem(NamedTuple):
         ``(K, n, n)`` / ``(K, n)`` (row K-1 is the terminal cost).
       R, r: control cost per stage, ``(K-1, m, m)`` / ``(K-1, m)``.
       x_init: fixed initial state ``(n,)``.
+      linearize: optional ``(X, U) -> (A, B, F)`` trajectory linearizer
+        overriding the generic jacfwd route — ``A (K-1,n,n)``,
+        ``B (K-1,n,m)``, ``F (K-1,n)`` the primal rollout
+        ``f(x_k, u_k)``. Model families with structure to exploit
+        (:func:`tpcg.models.rbd_lane.make_lane_linearizer`) inject it
+        here; semantics must match ``dynamics`` to f32 roundoff.
     """
     dynamics: Callable
     Q: jax.Array
@@ -53,6 +59,7 @@ class TrajOptProblem(NamedTuple):
     R: jax.Array
     r: jax.Array
     x_init: jax.Array
+    linearize: Optional[Callable] = None
 
 
 class SQPResult(NamedTuple):
@@ -127,7 +134,9 @@ def _merit(p: TrajOptProblem, X, U, mu, bounds=None, al=None):
 
 def _linearize(p: TrajOptProblem, X, U):
     """Batched A_k = df/dx, B_k = df/du along the trajectory, plus the
-    primal rollout f(x_k, u_k) — all from ONE forward-mode pass.
+    primal rollout f(x_k, u_k) — all from ONE forward-mode pass. A
+    problem-supplied ``p.linearize`` (e.g. the lane-major rigid-body
+    route, tpcg/models/rbd_lane.py) takes precedence.
 
     Measured (v5e, iiwa14 n=14 K=128, chained-dependent timing): two
     separate ``vmap(jacfwd(argnums=i))`` passes cost 9.8 ms — XLA does
@@ -135,6 +144,8 @@ def _linearize(p: TrajOptProblem, X, U):
     while a single combined pass is 5.5 ms; extracting the primal from
     the same ``jax.linearize`` partial evaluation makes the defect
     rollout free (it otherwise re-runs the full dynamics, ~1.5 ms)."""
+    if p.linearize is not None:
+        return p.linearize(X, U)
     n = X.shape[-1]
 
     def ab_f(x, u):

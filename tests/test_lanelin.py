@@ -1,0 +1,70 @@
+"""Parity of the lane-major unrolled Cholesky helpers (tpcg/ops/lanelin)
+against jnp.linalg on random SPD stacks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpcg.ops import lanelin
+
+
+def _spd_stack(key, B, n, dtype=jnp.float32):
+    L = jax.random.normal(key, (B, n, n), dtype) * 0.4
+    return jnp.einsum('bij,bkj->bik', L, L) + 1.2 * jnp.eye(n, dtype=dtype)
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 14])
+def test_spd_inverse_parity(n):
+    M = _spd_stack(jax.random.PRNGKey(n), 9, n)
+    got = np.asarray(jax.jit(lanelin.spd_inverse)(M))
+    with jax.default_matmul_precision("highest"):
+        want = np.asarray(jnp.linalg.inv(M))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("n", [2, 7, 14])
+def test_spd_solve_parity(n):
+    key = jax.random.PRNGKey(100 + n)
+    M = _spd_stack(key, 6, n)
+    rhs = jax.random.normal(jax.random.PRNGKey(1), (6, n), jnp.float32)
+    got = np.asarray(jax.jit(lanelin.spd_solve)(M, rhs))
+    with jax.default_matmul_precision("highest"):
+        want = np.asarray(jnp.linalg.solve(M, rhs[..., None])[..., 0])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+
+def test_leading_batch_dims():
+    M = _spd_stack(jax.random.PRNGKey(5), 12, 5).reshape(3, 4, 5, 5)
+    got = np.asarray(lanelin.spd_inverse(M))
+    with jax.default_matmul_precision("highest"):
+        want = np.asarray(jnp.linalg.inv(M))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_identity_roundtrip():
+    M = _spd_stack(jax.random.PRNGKey(9), 4, 14)
+    inv = lanelin.spd_inverse(M)
+    eye = np.einsum('bij,bjk->bik', np.asarray(M), np.asarray(inv))
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(14), eye.shape),
+                               atol=5e-5)
+
+
+def test_differentiable():
+    """Layers above differentiate through assemblies that use these
+    helpers. ``spd_inverse`` only reads the lower triangle (Cholesky), so
+    raw dL/dM differs from linalg's by a triangle fold — but through any
+    SYMMETRIC construction M(theta) (the only valid use: SPD inputs) the
+    total derivative must match."""
+    L0 = jax.random.normal(jax.random.PRNGKey(2), (3, 7, 7), jnp.float32)
+
+    def build(L_):
+        return (jnp.einsum('bij,bkj->bik', L_, L_)
+                + 1.5 * jnp.eye(7, dtype=L_.dtype))
+
+    g = jax.grad(lambda L_: jnp.sum(lanelin.spd_inverse(build(L_))))(L0)
+    with jax.default_matmul_precision("highest"):
+        g_ref = jax.grad(
+            lambda L_: jnp.sum(jnp.linalg.inv(build(L_))))(L0)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=3e-3, atol=3e-3)

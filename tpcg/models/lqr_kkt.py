@@ -77,9 +77,11 @@ def schur_system(p: LQRProblem):
 
 
 def _schur_system_impl(p: LQRProblem):
+    from tpcg.ops.lanelin import spd_inverse
+
     K, n = p.knot_points, p.state_size
-    Qinv = jnp.linalg.inv(p.Q)                    # (K, n, n)
-    Rinv = jnp.linalg.inv(p.R)                    # (K-1, m, m)
+    Qinv = spd_inverse(p.Q)                       # (K, n, n)  SPD costs
+    Rinv = spd_inverse(p.R)                       # (K-1, m, m)
 
     AQinv = jnp.einsum('kij,kjm->kim', p.A, Qinv[:-1])       # A_{k} Q_k^-1
     AQA = jnp.einsum('kij,kmj->kim', AQinv, p.A)             # A Q^-1 A'
@@ -110,8 +112,10 @@ def recover_primal(p: LQRProblem, lam):
 
 
 def _recover_primal_impl(p: LQRProblem, lam):
-    Qinv = jnp.linalg.inv(p.Q)
-    Rinv = jnp.linalg.inv(p.R)
+    from tpcg.ops.lanelin import spd_inverse
+
+    Qinv = spd_inverse(p.Q)
+    Rinv = spd_inverse(p.R)
     # A_k' lam_{k+1}, absent for the terminal knot
     At_lam = jnp.einsum('kji,kj->ki', p.A, lam[1:])          # (K-1, n)
     At_lam = jnp.concatenate([At_lam, jnp.zeros_like(lam[:1])], axis=0)

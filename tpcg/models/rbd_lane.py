@@ -149,35 +149,9 @@ def _chol_solve_t(M, rhs):
     """Unrolled lane-batched Cholesky solve: ``M (n,n,K)`` SPD (mass +
     armature — well-conditioned by construction), ``rhs (n,K)``. Pure
     elementwise ops on (K,) lane vectors — replaces the batched LU of
-    ``jnp.linalg.solve``."""
-    n = rhs.shape[0]
-    L = [[None] * n for _ in range(n)]
-    inv = [None] * n
-    for j in range(n):
-        d = M[j, j]
-        for k in range(j):
-            d = d - L[j][k] * L[j][k]
-        Ljj = jnp.sqrt(d)
-        inv[j] = 1.0 / Ljj
-        L[j][j] = Ljj
-        for i in range(j + 1, n):
-            s = M[i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            L[i][j] = s * inv[j]
-    y = [None] * n
-    for i in range(n):
-        s = rhs[i]
-        for k in range(i):
-            s = s - L[i][k] * y[k]
-        y[i] = s * inv[i]
-    x = [None] * n
-    for i in reversed(range(n)):
-        s = y[i]
-        for k in range(i + 1, n):
-            s = s - L[k][i] * x[k]
-        x[i] = s * inv[i]
-    return jnp.stack(x)
+    ``jnp.linalg.solve`` (shared helper, tpcg/ops/lanelin.py)."""
+    from tpcg.ops.lanelin import chol_solve_lane
+    return chol_solve_lane(M, rhs)
 
 
 def _mass_and_bias_t(cs, q, qd):

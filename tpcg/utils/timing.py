@@ -45,16 +45,25 @@ def chain_solves(solve_fn: Callable, repeats: int):
     """Wrap a solver ``solve_fn(S, Pinv, gamma, lam0) -> PCGResult`` into a
     single jitted executable running ``repeats`` dependent solves.
 
-    The k-th solve's gamma is perturbed by ``eta_{k-1} * 1e-20`` (a genuine
-    data dependence, numerically inert at f32), so the chain cannot be
-    CSE'd/hoisted and ``wall_time(chained)/repeats`` is device throughput.
+    The k-th solve's gamma AND S are perturbed by ``eta_{k-1} * 1e-20`` (a
+    genuine data dependence, numerically inert at f32), so the chain cannot
+    be CSE'd/hoisted and ``wall_time(chained)/repeats`` is device
+    throughput. Nudging S matters as much as gamma: XLA's while-loop
+    invariant code motion HOISTS any S-only computation (preconditioner
+    construction, lane-major relayout) out of the chain if S is
+    loop-invariant — measured 27.8 vs 610.7 µs/solve for the
+    stair_refined build+solve before/after this fix. In the MPC setting S
+    changes every control step, so per-solve cost must include the
+    S-dependent pipeline.
     """
 
     @jax.jit
     def chained(S, Pinv, gamma, lam0):
         def body(_, carry):
             acc, lam = carry
-            res = solve_fn(S, Pinv, gamma + acc * 1e-20, lam0)
+            eps = acc * 1e-20
+            res = solve_fn(S + eps.astype(S.dtype), Pinv,
+                           gamma + eps.astype(gamma.dtype), lam0)
             return (jnp.sum(res.eta).astype(gamma.dtype), lam + 0 * res.lam)
 
         acc, lam = jax.lax.fori_loop(

@@ -1,6 +1,13 @@
 """Round-3 on-chip experiment: materialized stair_refined preconditioner
 vs the round-2 headline (in-kernel symmetric-stair build+solve).
 
+NOTE: the numbers this script originally produced (stair_refined
+build+solve 10.59 µs etc., quoted in docs/ROADMAP.md item 9) were
+measured BEFORE tpcg/utils/timing.py learned to perturb S per chained
+solve — XLA hoisted the S-only banded build out of the chain, so those
+"build included" figures timed solve-only. Re-running it now (the timer
+is fixed) gives the honest picture: build+solve ~130 µs.
+
 Usage: python scripts/exp_refined.py   (on the TPU)
 """
 import os

@@ -34,6 +34,19 @@ def test_spd_solve_parity(n):
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.parametrize("n", [2, 6, 14])
+def test_negative_definite_parity(n):
+    """The golden reference Schur system's diagonal blocks are NEGATIVE
+    definite (PCG is sign-invariant) — the root-free LDL^T must invert
+    them; a Cholesky (sqrt) formulation NaNs here."""
+    M = -_spd_stack(jax.random.PRNGKey(40 + n), 7, n)
+    got = np.asarray(jax.jit(lanelin.spd_inverse)(M))
+    assert np.isfinite(got).all()
+    with jax.default_matmul_precision("highest"):
+        want = np.asarray(jnp.linalg.inv(M))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_leading_batch_dims():
     M = _spd_stack(jax.random.PRNGKey(5), 12, 5).reshape(3, 4, 5, 5)
     got = np.asarray(lanelin.spd_inverse(M))

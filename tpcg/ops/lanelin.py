@@ -1,25 +1,29 @@
-"""Lane-major small-SPD linear algebra: unrolled Cholesky solve/inverse.
+"""Lane-major small symmetric-definite linear algebra: unrolled LDL^T
+solve/inverse.
 
 TPU XLA lowers ``jnp.linalg.inv`` / ``jnp.linalg.solve`` over stacks of
 tiny matrices as batched LU with pivoting — measured ~700 µs for the
 (128,14,14)+(127,7,7) inverses of one LQR-KKT assembly on v5e, which
 dominated the entire NMPC QP core. These helpers instead transpose the
 batch to the TRAILING (lane) axis and unroll the n x n factorization in
-Python: every emitted op is an elementwise multiply/add/rsqrt on a
+Python: every emitted op is an elementwise multiply/add/divide on a
 ``(B,)`` lane vector, the whole chain fuses into a few VPU loops, and the
 batch fills the 128-lane dimension. ~1.5k ops for n=14 — microseconds,
 not hundreds.
 
-No pivoting: inputs must be SPD (mass matrices with armature, SPD cost
-blocks, SPD block-tridiagonal diagonals — everything this library feeds
-here is SPD by construction). Unrolling is O(n^3) in trace size, so
-``spd_inverse``/``spd_solve`` fall back to ``jnp.linalg`` above
-``_MAX_UNROLL_N``.
+The factorization is LDL^T (root-free), not Cholesky: it needs no sqrt,
+so it handles symmetric DEFINITE blocks of either sign — positive (mass
+matrices with armature, SPD cost blocks) or negative (the diagonal blocks
+of the reference's golden Schur system are negative definite; PCG itself
+is sign-invariant). No pivoting: inputs must be sign-definite; a zero
+pivot (genuinely indefinite block) produces inf/nan rather than a wrong
+answer. Unrolling is O(n^3) in trace size, so ``spd_inverse``/
+``spd_solve`` fall back to ``jnp.linalg`` above ``_MAX_UNROLL_N``.
 
 Used by: tpcg/precond (stair builds), tpcg/models/lqr_kkt.py (Schur
 assembly + primal recovery), tpcg/models/rbd_lane.py (mass solve).
 Parity: tests/test_lanelin.py checks against ``jnp.linalg`` on random
-SPD stacks.
+SPD and negative-definite stacks.
 """
 
 from __future__ import annotations
@@ -30,61 +34,65 @@ import jax.numpy as jnp
 _MAX_UNROLL_N = 32
 
 
-def _chol_lane(M, n):
-    """Cholesky of ``M`` given as indexable ``M[i, j] -> (B,)`` lanes.
-    Returns (L, inv_diag) as Python lists of lane vectors."""
+def _ldl_lane(M, n):
+    """LDL^T of ``M`` given as indexable ``M[i, j] -> (B,)`` lanes.
+    Returns (L, d, dinv): unit-lower L, diagonal d, and 1/d — all Python
+    lists of lane vectors. Root-free, so sign-definite inputs of either
+    sign factor exactly."""
     L = [[None] * n for _ in range(n)]
-    inv = [None] * n
+    d = [None] * n
+    dinv = [None] * n
     for j in range(n):
-        d = M[j, j]
+        s = M[j, j]
         for k in range(j):
-            d = d - L[j][k] * L[j][k]
-        Ljj = jnp.sqrt(d)
-        inv[j] = 1.0 / Ljj
-        L[j][j] = Ljj
+            s = s - L[j][k] * L[j][k] * d[k]
+        d[j] = s
+        dinv[j] = 1.0 / s
+        L[j][j] = None  # unit diagonal, never materialized
         for i in range(j + 1, n):
-            s = M[i, j]
+            t = M[i, j]
             for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            L[i][j] = s * inv[j]
-    return L, inv
+                t = t - L[i][k] * L[j][k] * d[k]
+            L[i][j] = t * dinv[j]
+    return L, d, dinv
 
 
 def chol_solve_lane(M, rhs):
-    """Solve ``M x = rhs`` for SPD ``M (n,n,B)``, ``rhs (n,B)`` — pure
-    elementwise lane ops (no batched LU)."""
+    """Solve ``M x = rhs`` for symmetric definite ``M (n,n,B)``,
+    ``rhs (n,B)`` — pure elementwise lane ops (no batched LU). Root-free
+    LDL^T under the hood (the name is historical: the SPD use sites)."""
     n = rhs.shape[0]
-    L, inv = _chol_lane(M, n)
+    L, _, dinv = _ldl_lane(M, n)
     y = [None] * n
     for i in range(n):
         s = rhs[i]
         for k in range(i):
             s = s - L[i][k] * y[k]
-        y[i] = s * inv[i]
+        y[i] = s
     x = [None] * n
     for i in reversed(range(n)):
-        s = y[i]
+        s = y[i] * dinv[i]
         for k in range(i + 1, n):
             s = s - L[k][i] * x[k]
-        x[i] = s * inv[i]
+        x[i] = s
     return jnp.stack(x)
 
 
 def spd_inverse_lane(M):
-    """Inverse of SPD ``M (n,n,B)`` -> ``(n,n,B)`` via unrolled
-    ``A^-1 = L^-T L^-1``."""
+    """Inverse of symmetric definite ``M (n,n,B)`` -> ``(n,n,B)`` via
+    unrolled ``A^-1 = L^-T D^-1 L^-1`` (unit-lower L)."""
     n = M.shape[0]
-    L, inv = _chol_lane(M, n)
-    # forward-substitute unit columns: Linv lower, Linv[j][j] = 1/L[j][j]
+    L, _, dinv = _ldl_lane(M, n)
+    # forward-substitute unit columns: Linv unit lower triangular
     Linv = [[None] * n for _ in range(n)]
     for j in range(n):
-        Linv[j][j] = inv[j]
         for i in range(j + 1, n):
-            s = L[i][j] * Linv[j][j]
+            s = L[i][j]
             for k in range(j + 1, i):
                 s = s + L[i][k] * Linv[k][j]
-            Linv[i][j] = -s * inv[i]
-    # Ainv[i][j] = sum_{k >= max(i,j)} Linv[k][i] Linv[k][j]
+            Linv[i][j] = -s
+    # Ainv[i][j] = sum_{k >= max(i,j)} Linv[k][i] dinv[k] Linv[k][j]
+    # (Linv[k][k] = 1 implicit)
     rows = []
     cache = {}
     for i in range(n):
@@ -92,9 +100,9 @@ def spd_inverse_lane(M):
         for j in range(n):
             lo, hi = (i, j) if i <= j else (j, i)
             if (lo, hi) not in cache:
-                s = Linv[hi][lo] * Linv[hi][hi]
+                s = dinv[hi] if lo == hi else Linv[hi][lo] * dinv[hi]
                 for k in range(hi + 1, n):
-                    s = s + Linv[k][lo] * Linv[k][hi]
+                    s = s + Linv[k][lo] * Linv[k][hi] * dinv[k]
                 cache[(lo, hi)] = s
             row.append(cache[(lo, hi)])
         rows.append(jnp.stack(row))
@@ -114,10 +122,10 @@ def _to_lane(Mb):
 
 
 def spd_inverse(Mb):
-    """Batched inverse of an SPD stack ``(..., n, n)`` — drop-in for
-    ``jnp.linalg.inv`` on SPD inputs, lane-major unrolled Cholesky under
-    the hood (falls back to ``jnp.linalg.inv`` for n > 32 or on
-    non-static ranks)."""
+    """Batched inverse of a symmetric-definite stack ``(..., n, n)`` —
+    drop-in for ``jnp.linalg.inv`` on sign-definite symmetric inputs,
+    lane-major unrolled LDL^T under the hood (falls back to
+    ``jnp.linalg.inv`` for n > 32)."""
     n = Mb.shape[-1]
     if n > _MAX_UNROLL_N:
         with jax.default_matmul_precision("highest"):
@@ -127,8 +135,9 @@ def spd_inverse(Mb):
 
 
 def spd_solve(Mb, rhs):
-    """Batched solve ``M x = rhs`` for SPD ``M (..., n, n)``,
-    ``rhs (..., n)`` — drop-in for ``jnp.linalg.solve`` on SPD inputs."""
+    """Batched solve ``M x = rhs`` for symmetric definite ``M (..., n, n)``,
+    ``rhs (..., n)`` — drop-in for ``jnp.linalg.solve`` on sign-definite
+    symmetric inputs."""
     n = Mb.shape[-1]
     if n > _MAX_UNROLL_N:
         with jax.default_matmul_precision("highest"):

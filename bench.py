@@ -264,25 +264,27 @@ def main():
 
     # config 5: 256-system fleets, n=14, at K=128 and K=32 — the lane-packed
     # fused kernel (P systems jointly per grid step; at K=32 it also fills
-    # the 75% of lanes a single solve wastes), pipelined method,
-    # preconditioner built in-kernel per system. Baseline: the vmapped
-    # pure-XLA while-loop solver with a prebuilt Phi^-1 — the strongest
-    # batched alternative a JAX user would write.
+    # the 75% of lanes a single solve wastes), preconditioner built
+    # in-kernel per system. Baseline: the vmapped pure-XLA while-loop
+    # solver with its Phi^-1 built inside the timed fn — the strongest
+    # batched alternative a JAX user would write, measured to the same
+    # build-included contract as the fused route (the honest S-nudged
+    # chain makes per-solve builds visible on both sides).
     B, n = 256, 14
     for K_b in (128, 32):
         err(f"# running: batch K={K_b}")
         Sb, gb = trajopt.batch_systems(jax.random.PRNGKey(0), B, n, K_b)
         l0 = jnp.zeros_like(gb)
 
-        # method per route: pipelined pays off on the lane-packed fused
-        # kernel (one sync point per iteration); on the vmapped-XLA route
-        # (wide fleet, small K) its 4 extra recurrences are pure cost
+        # pipelined pays off on the lane-packed fused kernel at long K
+        # (one sync point per iteration); short chains keep classic
         meth_b = "pipelined" if K_b >= 128 else "classic"
 
         def fused_batch(S, P, g, l):
-            # the PUBLIC auto-routed batched API: lane-packed fused kernel
-            # at K>=128, vmapped XLA at wide-fleet small-K (the measured
-            # crossover in tpcg/solver/api.py)
+            # the PUBLIC auto-routed batched API: with an in-kernel-built
+            # preconditioner this routes lane-packed at every shape (the
+            # build-honest crossover in tpcg/solver/api.py; the vmapped-
+            # XLA route only wins wide-short fleets with a PREBUILT Pinv)
             import tpcg
             from tpcg.types import PCGConfig
             return tpcg.pcg_solve_batched(
@@ -294,12 +296,15 @@ def main():
         t_b = device_solve_time(fused_batch, Sb.blocks, Sb.blocks, gb, l0,
                                 repeats=64, lo_repeats=8, reps=8)
 
-        Pb_b = precond.build(Sb, "symmetric_stair").blocks
-        xla_batch = jax.vmap(lambda s, p, g, l: jnp_backend.pcg_jnp(
+        from tpcg.types import BlockTridiag as _BT
+        xla_vm = jax.vmap(lambda s, p, g, l: jnp_backend.pcg_jnp(
             s, p, g, l, exit_tol=1e-6, max_iter=100))
-        xb = xla_batch(Sb.blocks, Pb_b, gb, l0)
-        t_xb = device_solve_time(lambda S, P, g, l: xla_batch(S, P, g, l),
-                                 Sb.blocks, Pb_b, gb, l0,
+
+        def xla_batch(S, P, g, l):
+            Pb_ = precond.build(_BT(S), "symmetric_stair").blocks
+            return xla_vm(S, Pb_, g, l)
+        xb = xla_batch(Sb.blocks, None, gb, l0)
+        t_xb = device_solve_time(xla_batch, Sb.blocks, Sb.blocks, gb, l0,
                                  repeats=64, lo_repeats=8, reps=8)
         rows.append((f"batch B={B} n=14 K={K_b} auto-routed {meth_b} "
                      "(per-system)",

@@ -225,16 +225,23 @@ def pcg_solve_batched(S, gamma, lam0=None, *,
     auto = backend == "auto"
     backend = _pick_backend(backend, S.dtype)
     if auto and backend == "pallas":
-        # Measured routing (TPU v5e, n=14, tol 1e-6): for WIDE fleets of
-        # SHORT chains the vmapped XLA solver beats the lane-packed fused
-        # kernel — it vectorizes every iteration over all B systems (MXU
-        # batched einsums) while the packed kernel amortizes over at most
-        # ~512/K lanes. Data: B=256 K=32: 0.8 vs 3.3 us/sys; B=256 K=64:
-        # 4.2 vs 6.5; B=256 K=128: 18.8 vs 12.4 (packed wins, XLA goes
-        # HBM-bound); B=8 K=32: 6.6 vs 3.0 (packed wins, XLA overhead-
-        # bound). Explicit backend= overrides this.
+        # Measured routing (TPU v5e, n=14, tol 1e-6, build-honest chained
+        # timer — the chain perturbs S, so per-solve preconditioner
+        # construction is INCLUDED): when the preconditioner is built per
+        # solve (Pinv=None, block_jacobi/symmetric_stair), the lane-packed
+        # fused kernel wins at EVERY shape — its build runs in-kernel on
+        # the VPU while the jnp route pays an XLA-level batched build.
+        # Data (B=256): K=32 packed 4.8 vs jnp 13.6 us/sys; K=64 10.0 vs
+        # 31.6; K=128 14.1 vs 77.9. (An earlier crossover sending wide
+        # short fleets to jnp was calibrated with a gamma-only nudge that
+        # let XLA hoist the build out of the chain.) With a PREBUILT
+        # Pinv there is no build to amortize and the vmapped XLA solver
+        # still wins wide-short fleets (K=32: 2.0 solve-only vs packed
+        # 3.3). Explicit backend= overrides this.
         B, K = gamma.shape[0], gamma.shape[1]
-        if B >= 32 and K <= 64:
+        prebuilt = (Pinv is not None
+                    or config.preconditioner in ("identity", "explicit"))
+        if prebuilt and B >= 32 and K <= 64:
             backend = "jnp"
     identity = config.preconditioner == "identity" and Pinv is None
     in_kernel = (backend == "pallas" and Pinv is None and

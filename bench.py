@@ -323,8 +323,13 @@ def main():
     from tpcg.models.rigid_body import manipulator_reach_problem
     from tpcg.types import PCGConfig as _Cfg
     p_n = manipulator_reach_problem(K=128, dt=0.01)
+    # in-kernel symmetric_stair pipelined is the honest-timer winner for
+    # the per-step contract (S changes every step, so stair_refined's
+    # XLA-level build is paid per step): measured QP core 75 vs 187 us,
+    # full step 549 vs 655 us (same session, /tmp-exp 2026-08; the
+    # higher iteration count — 151 vs 105 — is cheaper than the build)
     cfg_n = _Cfg(exit_tol=1e-8, max_iter=200,
-                 preconditioner="stair_refined", method="pipelined")
+                 preconditioner="symmetric_stair", method="pipelined")
     sim = nmpc.simulate(p_n, p_n.x_init, n_steps=4, config=cfg_n)
     st = sim.state
     g_carrier = jnp.broadcast_to(st.X[0], st.X.shape)  # row 0 = x_measured
@@ -356,7 +361,7 @@ def main():
     from tpcg.models.sqp import _linearize, _qp_step
     A_n, B_n, F_n = jax.jit(lambda X, U: _linearize(p_n, X, U))(st.X, st.U)
     d_n = F_n - st.X[1:]
-    for name, bk in (("fused stair_refined", "auto"), ("pure-XLA", "jnp")):
+    for name, bk in (("fused sym_stair", "auto"), ("pure-XLA", "jnp")):
         core = jax.jit(lambda A_, B_, d_, l_, bk=bk: _qp_step(
             p_n, st.X, st.U, 1e-6, cfg_n, x_init=st.X[0], lam0=l_,
             backend=bk, _lin=(A_, B_, d_))[2])

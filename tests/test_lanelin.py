@@ -63,6 +63,42 @@ def test_identity_roundtrip():
                                atol=5e-5)
 
 
+def test_matmul_lane_parity():
+    A = jax.random.normal(jax.random.PRNGKey(0), (5, 7, 13), jnp.float32)
+    B = jax.random.normal(jax.random.PRNGKey(1), (7, 4, 13), jnp.float32)
+    got = np.asarray(lanelin.matmul_lane(A, B))
+    want = np.einsum('ikb,kjb->ijb', np.asarray(A), np.asarray(B))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_symmetric_stair_lane_major_parity():
+    """The lane-major stair build must match the einsum fallback exactly
+    (same arithmetic, different layout), single and batched, including
+    the negative-definite golden system."""
+    import tpcg
+    from tpcg import precond
+    from tpcg.models import golden
+    from tpcg.types import BlockTridiag
+
+    S1 = tpcg.random_spd_cbtd(jax.random.PRNGKey(0), 14, 16)
+    np.testing.assert_allclose(
+        np.asarray(precond.symmetric_stair(S1).blocks),
+        np.asarray(precond._symmetric_stair_einsum(S1).blocks),
+        rtol=2e-5, atol=2e-6)
+    Sb = BlockTridiag(jnp.stack(
+        [tpcg.random_spd_cbtd(jax.random.PRNGKey(i), 6, 9).blocks
+         for i in range(4)]))
+    np.testing.assert_allclose(
+        np.asarray(precond.symmetric_stair(Sb).blocks),
+        np.asarray(precond._symmetric_stair_einsum(Sb).blocks),
+        rtol=2e-5, atol=2e-6)
+    Sg, _, _ = golden.system()
+    np.testing.assert_allclose(
+        np.asarray(precond.symmetric_stair(Sg).blocks),
+        np.asarray(precond._symmetric_stair_einsum(Sg).blocks),
+        rtol=2e-5, atol=1e-6)
+
+
 def test_differentiable():
     """Layers above differentiate through assemblies that use these
     helpers. ``spd_inverse`` only reads the lower triangle (Cholesky), so

@@ -36,7 +36,8 @@ def identity(S: BlockTridiag) -> BlockTridiag:
 
 def _inv_diag(S: BlockTridiag):
     """Batched inverse of the K diagonal blocks — lane-major unrolled
-    Cholesky (tpcg/ops/lanelin.py; the diag blocks are SPD for any SPD S).
+    LDL^T (tpcg/ops/lanelin.py; the diag blocks are sign-definite for any
+    definite S — the golden reference system's are NEGATIVE definite).
     The previous ``jnp.linalg.inv`` route cost ~600 µs per (128,14,14)
     stack on v5e (batched tiny LU), dominating every XLA-level build."""
     from tpcg.ops.lanelin import spd_inverse
@@ -63,6 +64,38 @@ def symmetric_stair(S: BlockTridiag) -> BlockTridiag:
     coupling the block-Jacobi preconditioner ignores, cutting PCG iteration
     counts on trajectory-opt KKT systems.
     """
+    from tpcg.ops import lanelin
+
+    if S.state_size > lanelin._MAX_UNROLL_N:
+        return _symmetric_stair_einsum(S)
+
+    # Lane-major build: knots (and any batch) on the TRAILING axes, every
+    # op an elementwise lane FMA — no dot_general (XLA lowers stacks of
+    # tiny matmuls as padded MXU batches: measured ~11.6 us/system for
+    # this build over a (256,32) fleet the einsum way, ~30x less
+    # lane-major). Same trick as tpcg/models/rbd_lane.py.
+    blocks = S.blocks
+    lead = blocks.shape[:-4]
+    K, n = blocks.shape[-4], blocks.shape[-1]
+    flat = blocks.reshape((-1, K, 3, n, n))
+    Mt = jnp.transpose(flat, (2, 3, 4, 0, 1))       # (3, n, n, B, K)
+    L, D, R = Mt[0], Mt[1], Mt[2]
+    Dinv = lanelin.spd_inverse_lane(D)              # (n, n, B, K)
+    zeros = jnp.zeros_like(Dinv[..., :1])
+    Dinv_dn = jnp.concatenate([zeros, Dinv[..., :-1]], axis=-1)
+    Dinv_up = jnp.concatenate([Dinv[..., 1:], zeros], axis=-1)
+    left = -lanelin.matmul_lane(lanelin.matmul_lane(Dinv, L), Dinv_dn)
+    right = -lanelin.matmul_lane(lanelin.matmul_lane(Dinv, R), Dinv_up)
+    out = jnp.stack([left, Dinv, right])            # (3, n, n, B, K)
+    out = jnp.transpose(out, (3, 4, 0, 1, 2)).reshape(
+        lead + (K, 3, n, n))
+    return BlockTridiag(zero_pad_slots(out))
+
+
+def _symmetric_stair_einsum(S: BlockTridiag) -> BlockTridiag:
+    """Einsum fallback for n > lanelin._MAX_UNROLL_N (the lane-major
+    build's O(n^3) unroll would bloat the trace; at large n the batched
+    MXU matmuls are the right tool anyway)."""
     Dinv = _inv_diag(S)  # (..., K, n, n)
     L = S.blocks[..., :, 0, :, :]
     R = S.blocks[..., :, 2, :, :]

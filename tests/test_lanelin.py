@@ -99,6 +99,33 @@ def test_symmetric_stair_lane_major_parity():
         rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("levels,band", [(1, None), (2, 5), (1, 2)])
+def test_stair_refined_lane_major_parity(levels, band):
+    """stair_refined's lane-major build pipeline (banded_mm_lm et al.) must
+    match the einsum pipeline it replaced."""
+    import tpcg
+    from tpcg import precond
+    from tpcg.layout import zero_pad_slots
+    from tpcg.ops import banded
+
+    S = tpcg.random_spd_cbtd(jax.random.PRNGKey(levels), 7, 12)
+    got = precond.stair_refined(S, levels=levels, band=band).pages
+    exact = 2 * levels + 1
+    b = exact if band is None else band
+    M = precond.symmetric_stair(S).blocks
+    P = M
+    with jax.default_matmul_precision("highest"):
+        for _ in range(levels):
+            SP = banded.banded_mm(zero_pad_slots(S.blocks), P, out_band=b + 1)
+            MSP = banded.banded_mm(M, SP, out_band=b)
+            P = banded.banded_add(banded.banded_add(M, P), MSP, 1.0, -1.0)
+            P = banded.truncate_band(P, b)
+        if b < exact:
+            P = banded.symmetrize(P)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(P),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_differentiable():
     """Layers above differentiate through assemblies that use these
     helpers. ``spd_inverse`` only reads the lower triangle (Cholesky), so

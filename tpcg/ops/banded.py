@@ -186,6 +186,99 @@ def banded_to_dense(pages):
 
 
 # ---------------------------------------------------------------------------
+# Lane-major BUILD pipeline — the layout tpcg.precond.stair_refined runs in
+# ---------------------------------------------------------------------------
+# In the standard page layout (..., K, D, n, n) the minor-most axis is the
+# n=14-wide block column: every XLA op runs 14/128-full lanes, and the
+# einsum products lower as padded batched MXU matmuls. Transposing ONCE to
+# (D, n, n, B, K) puts the knot chain (x batch) on the trailing axes, so
+# every product is an m-length outer-product-accumulation chain of full
+# (n, n, B, K) VPU FMAs (tpcg.ops.lanelin.matmul_lane) and shifts are
+# slices on the trailing axis. Same arithmetic, same zero-slot contract.
+
+def to_lane_major_pages(pages):
+    """``(..., K, D, n, n) -> (pages_lm (D, n, n, B, K), lead_shape)``."""
+    K, D, n = pages.shape[-4], pages.shape[-3], pages.shape[-1]
+    lead = pages.shape[:-4]
+    flat = pages.reshape((-1, K, D, n, n))
+    return jnp.transpose(flat, (2, 3, 4, 0, 1)), lead
+
+
+def from_lane_major_pages(P_lm, lead):
+    """Inverse of :func:`to_lane_major_pages`."""
+    out = jnp.transpose(P_lm, (3, 4, 0, 1, 2))      # (B, K, D, n, n)
+    return out.reshape(lead + out.shape[1:])
+
+
+def _zero_invalid_lm(P_lm):
+    K, D = P_lm.shape[-1], P_lm.shape[0]
+    b = (D - 1) // 2
+    k = jax.lax.broadcasted_iota(jnp.int32, (D, K), 1)
+    d = jax.lax.broadcasted_iota(jnp.int32, (D, K), 0) - jnp.int32(b)
+    valid = jnp.logical_and(k + d >= 0, k + d < K)
+    return P_lm * valid[:, None, None, None, :].astype(P_lm.dtype)
+
+
+def banded_mm_lm(A, B, out_band: int = None):
+    """Lane-major :func:`banded_mm`: ``A (2a+1, n, n, Bt, K)`` @
+    ``B (2b+1, n, n, Bt, K)``."""
+    from tpcg.ops.lanelin import matmul_lane
+
+    ba = (A.shape[0] - 1) // 2
+    bb = (B.shape[0] - 1) // 2
+    bc = ba + bb if out_band is None else min(out_band, ba + bb)
+    pages = []
+    for d in range(-bc, bc + 1):
+        acc = None
+        for e in range(-ba, ba + 1):
+            f = d - e
+            if abs(f) > bb:
+                continue
+            Bp = shift_k(B[f + bb], e, axis=-1)
+            t = matmul_lane(A[e + ba], Bp)
+            acc = t if acc is None else acc + t
+        pages.append(acc)
+    return _zero_invalid_lm(jnp.stack(pages))
+
+
+def banded_transpose_lm(A):
+    b = (A.shape[0] - 1) // 2
+    pages = [
+        jnp.swapaxes(shift_k(A[b - d], d, axis=-1), 0, 1)
+        for d in range(-b, b + 1)
+    ]
+    return _zero_invalid_lm(jnp.stack(pages))
+
+
+def _pad_band_lm(A, new_band: int):
+    b = (A.shape[0] - 1) // 2
+    if new_band == b:
+        return A
+    z = jnp.zeros_like(A[:1])
+    zs = jnp.broadcast_to(z, (new_band - b,) + A.shape[1:])
+    return jnp.concatenate([zs, A, zs], axis=0)
+
+
+def banded_add_lm(A, B, alpha=1.0, beta=1.0):
+    b = max((A.shape[0] - 1) // 2, (B.shape[0] - 1) // 2)
+    A = _pad_band_lm(A, b)
+    B = _pad_band_lm(B, b)
+    return A * jnp.asarray(alpha, A.dtype) + B * jnp.asarray(beta, B.dtype)
+
+
+def truncate_band_lm(A, new_band: int):
+    b = (A.shape[0] - 1) // 2
+    if new_band >= b:
+        return A
+    cut = b - new_band
+    return A[cut:-cut]
+
+
+def symmetrize_lm(A):
+    return banded_add_lm(A, banded_transpose_lm(A), 0.5, 0.5)
+
+
+# ---------------------------------------------------------------------------
 # In-kernel apply (lane-major) — the one runtime consumer
 # ---------------------------------------------------------------------------
 

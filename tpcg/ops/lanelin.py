@@ -112,22 +112,18 @@ def spd_inverse_lane(M):
 def matmul_lane(A, B):
     """Lane-major small matmul: ``A (n, m, *lanes)``, ``B (m, p, *lanes)``
     -> ``C (n, p, *lanes)`` with ``C[i,j] = sum_k A[i,k] * B[k,j]``
-    elementwise over the trailing lane axes. Unrolled: n*m*p FMAs on lane
-    vectors — no ``dot_general`` (XLA lowers stacks of tiny matmuls as
-    padded MXU batches; measured ~3 ms for the two stair triple-products
-    over a (256,32) fleet of 14x14 blocks vs ~0.1 ms lane-major)."""
-    n, m = A.shape[0], A.shape[1]
-    p = B.shape[1]
-    rows = []
-    for i in range(n):
-        row = []
-        for j in range(p):
-            s = A[i, 0] * B[0, j]
-            for k in range(1, m):
-                s = s + A[i, k] * B[k, j]
-            row.append(s)
-        rows.append(jnp.stack(row))
-    return jnp.stack(rows)
+    elementwise over the trailing lane axes. Outer-product accumulation:
+    m broadcast-FMAs over full ``(n, p, *lanes)`` tensors — no
+    ``dot_general`` (XLA lowers stacks of tiny matmuls as padded MXU
+    batches; measured ~3 ms for the two stair triple-products over a
+    (256,32) fleet of 14x14 blocks vs ~0.1 ms lane-major), and an
+    m-length op chain rather than an n*m*p unroll, so the trace stays
+    small and every op fills the VPU."""
+    m = A.shape[1]
+    C = A[:, 0, None] * B[None, 0]
+    for k in range(1, m):
+        C = C + A[:, k, None] * B[None, k]
+    return C
 
 
 def _to_lane(Mb):

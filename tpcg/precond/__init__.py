@@ -153,6 +153,23 @@ def stair_refined(S: BlockTridiag, levels: int = 1, band: int = None,
         raise ValueError(f"band must be >= 1, got {band}")
     M = symmetric_stair(S).blocks          # (..., K, 3, n, n), band 1
     Sp = zero_pad_slots(S.blocks)
+    from tpcg.ops.lanelin import _MAX_UNROLL_N
+    if S.state_size <= _MAX_UNROLL_N:
+        # lane-major pipeline: knots (x batch) trailing, products as
+        # outer-product FMA chains — no padded batched MXU matmuls
+        # (banded.py "Lane-major BUILD pipeline")
+        M_lm, lead = banded.to_lane_major_pages(M)
+        S_lm, _ = banded.to_lane_major_pages(Sp)
+        P = M_lm
+        for _ in range(levels):
+            SP = banded.banded_mm_lm(S_lm, P, out_band=band + 1)
+            MSP = banded.banded_mm_lm(M_lm, SP, out_band=band)
+            P = banded.banded_add_lm(
+                banded.banded_add_lm(M_lm, P), MSP, 1.0, -1.0)
+            P = banded.truncate_band_lm(P, band)
+        if sym and band < exact:
+            P = banded.symmetrize_lm(P)
+        return BlockBanded(banded.from_lane_major_pages(P, lead))
     P = M
     with jax.default_matmul_precision("highest"):
         for _ in range(levels):

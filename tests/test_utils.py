@@ -52,6 +52,27 @@ def test_feasibility_rejects_huge_and_names_limit():
         feasibility.check_fused_fits(14, 200_000)
 
 
+def test_vmem_budget_env_override(monkeypatch):
+    # TPCG_VMEM_BYTES is the deployment knob for uncalibrated generations:
+    # it must override the table (and clear the lru_cache-visible state)
+    monkeypatch.setenv("TPCG_VMEM_BYTES", str(64 * 1024 * 1024))
+    feasibility.chip_params.cache_clear()
+    try:
+        assert feasibility.chip_params()["vmem_bytes"] == 64 * 1024 * 1024
+        # a config the v5e budget rejects fits under the widened budget
+        feasibility.check_fused_fits(14, 3072)  # must not raise
+    finally:
+        feasibility.chip_params.cache_clear()
+    # bad values are ignored (warn), not fatal
+    monkeypatch.setenv("TPCG_VMEM_BYTES", "lots")
+    try:
+        with pytest.warns(UserWarning, match="TPCG_VMEM_BYTES"):
+            feasibility.chip_params.cache_clear()
+            feasibility.chip_params()
+    finally:
+        feasibility.chip_params.cache_clear()
+
+
 def test_pick_fused_variant_tiers():
     # small shapes -> fast; near the ceiling -> lean; beyond -> raises
     assert feasibility.pick_fused_variant(14, 128,

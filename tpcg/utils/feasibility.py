@@ -50,9 +50,24 @@ def chip_params() -> dict:
     """Resolve the calibration row for the ambient accelerator. CPU (tests,
     interpret mode) and unknown TPU kinds use the v5e row — unknown kinds
     warn once so a new generation is calibrated instead of silently
-    mis-sized."""
+    mis-sized.
+
+    ``TPCG_VMEM_BYTES`` (env) overrides the scoped-VMEM budget without a
+    source edit — the deployment knob for a generation whose Mosaic limit
+    differs from the v5e's 16 MiB (run the calibration sweep documented in
+    :func:`fused_vmem_bytes`, export the measured budget, file the row)."""
+    import os
+
     import jax
 
+    env = os.environ.get("TPCG_VMEM_BYTES")
+    if env:
+        try:
+            return dict(vmem_bytes=int(env), calibrated=True)
+        except ValueError:
+            warnings.warn(
+                f"ignoring non-integer TPCG_VMEM_BYTES={env!r}",
+                stacklevel=2)
     try:
         dev = jax.devices()[0]
         kind = getattr(dev, "device_kind", "") or ""

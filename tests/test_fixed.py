@@ -188,7 +188,7 @@ def test_fixed_pipelined_overrun_and_converged_at_entry_stay_finite():
     # host-codegen dependent (XLA:CPU FMA contraction varies by CPU
     # fingerprint). Park quality is therefore asserted against the TRUE
     # solution, not bitwise against the warm start (same discipline as
-    # test_fixed_pipelined_batched_packed_route below).
+    # test_fixed_pipelined_public_api_and_pallas_interpret).
     x_true = np.linalg.solve(np.asarray(S.dense(), np.float64),
                              np.asarray(g, np.float64).reshape(-1))
     for lam in (res.lam, res2.lam):

@@ -54,23 +54,21 @@ def test_feasibility_rejects_huge_and_names_limit():
 
 def test_vmem_budget_env_override(monkeypatch):
     # TPCG_VMEM_BYTES is the deployment knob for uncalibrated generations:
-    # it must override the table (and clear the lru_cache-visible state)
+    # it must override the table, re-read on every call (no cache_clear
+    # dance — setting it mid-process takes effect immediately)
     monkeypatch.setenv("TPCG_VMEM_BYTES", str(64 * 1024 * 1024))
-    feasibility.chip_params.cache_clear()
-    try:
-        assert feasibility.chip_params()["vmem_bytes"] == 64 * 1024 * 1024
-        # a config the v5e budget rejects fits under the widened budget
-        feasibility.check_fused_fits(14, 3072)  # must not raise
-    finally:
-        feasibility.chip_params.cache_clear()
-    # bad values are ignored (warn), not fatal
-    monkeypatch.setenv("TPCG_VMEM_BYTES", "lots")
-    try:
+    assert feasibility.chip_params()["vmem_bytes"] == 64 * 1024 * 1024
+    # a config the v5e budget rejects fits under the widened budget
+    feasibility.check_fused_fits(14, 3072)  # must not raise
+    monkeypatch.delenv("TPCG_VMEM_BYTES")
+    with pytest.raises(ValueError, match="Max feasible knot_points"):
+        feasibility.check_fused_fits(14, 3072)
+    # bad values are ignored (warn), not fatal; non-positive ints likewise
+    for bad in ("lots", "0", "-1"):
+        monkeypatch.setenv("TPCG_VMEM_BYTES", bad)
         with pytest.warns(UserWarning, match="TPCG_VMEM_BYTES"):
-            feasibility.chip_params.cache_clear()
-            feasibility.chip_params()
-    finally:
-        feasibility.chip_params.cache_clear()
+            row = feasibility.chip_params()
+        assert row["vmem_bytes"] > 0  # fell through to the device table
 
 
 def test_pick_fused_variant_tiers():

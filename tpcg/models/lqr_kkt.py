@@ -77,31 +77,48 @@ def schur_system(p: LQRProblem):
 
 
 def _schur_system_impl(p: LQRProblem):
-    from tpcg.ops.lanelin import spd_inverse
+    """Lane-major assembly: the knot axis goes to TPU lanes ONCE up front
+    and every block product is an outer-product FMA chain over full-width
+    ``(.., .., K)`` pages (tpcg/ops/lanelin.py) — no ``dot_general``
+    (XLA lowers (K, n, n) stacks of tiny einsums as padded MXU batches,
+    the same pathology the rbd_lane linearizer eliminated). The canonical
+    ``(K, 3, n, n)`` restore at the end is a pure transpose that XLA
+    cancels against the solver's ``to_lane_major`` when both live in one
+    jit (the MPC path)."""
+    from tpcg.ops.lanelin import (matmul_lane, matmul_lane_nt, matvec_lane,
+                                  spd_inverse_lane)
 
     K, n = p.knot_points, p.state_size
-    Qinv = spd_inverse(p.Q)                       # (K, n, n)  SPD costs
-    Rinv = spd_inverse(p.R)                       # (K-1, m, m)
+    Qt = jnp.moveaxis(p.Q, 0, -1)                 # (n, n, K)
+    Rt = jnp.moveaxis(p.R, 0, -1)                 # (m, m, K-1)
+    At = jnp.moveaxis(p.A, 0, -1)                 # (n, n, K-1)
+    Bt = jnp.moveaxis(p.B, 0, -1)                 # (n, m, K-1)
+    qt = jnp.moveaxis(p.q, 0, -1)                 # (n, K)
+    rt = jnp.moveaxis(p.r, 0, -1)                 # (m, K-1)
 
-    AQinv = jnp.einsum('kij,kjm->kim', p.A, Qinv[:-1])       # A_{k} Q_k^-1
-    AQA = jnp.einsum('kij,kmj->kim', AQinv, p.A)             # A Q^-1 A'
-    BRinv = jnp.einsum('kij,kjm->kim', p.B, Rinv)
-    BRB = jnp.einsum('kij,kmj->kim', BRinv, p.B)             # B R^-1 B'
+    Qinv_t = spd_inverse_lane(Qt)                 # (n, n, K)  SPD costs
+    Rinv_t = spd_inverse_lane(Rt)                 # (m, m, K-1)
 
-    diag = Qinv.at[1:].add(AQA + BRB)
-    left = jnp.zeros((K, n, n), p.Q.dtype).at[1:].set(-AQinv)
-    right = jnp.zeros((K, n, n), p.Q.dtype).at[:-1].set(
-        -jnp.swapaxes(AQinv, -1, -2))
-    S = BlockTridiag(zero_pad_slots(
-        jnp.stack([left, diag, right], axis=1)))
+    AQinv = matmul_lane(At, Qinv_t[:, :, :-1])    # A_k Q_k^-1
+    AQA = matmul_lane_nt(AQinv, At)               # A Q^-1 A'
+    BRinv = matmul_lane(Bt, Rinv_t)               # B R^-1
+    BRB = matmul_lane_nt(BRinv, Bt)               # B R^-1 B'
 
-    Qinv_q = jnp.einsum('kij,kj->ki', Qinv, p.q)             # (K, n)
-    gamma0 = -(p.x_init + Qinv_q[0])
-    gamma_rest = -(p.c + Qinv_q[1:]
-                   - jnp.einsum('kij,kj->ki', AQinv, p.q[:-1])
-                   - jnp.einsum('kij,kj->ki', BRinv, p.r))
-    gamma = jnp.concatenate([gamma0[None], gamma_rest], axis=0)
-    return S, gamma
+    diag = Qinv_t.at[:, :, 1:].add(AQA + BRB)
+    left = jnp.zeros((n, n, K), p.Q.dtype).at[:, :, 1:].set(-AQinv)
+    right = jnp.zeros((n, n, K), p.Q.dtype).at[:, :, :-1].set(
+        -jnp.swapaxes(AQinv, 0, 1))
+    # restore canonical blocks[k, d, r, c] from lane pages page[r, c, k]
+    S = BlockTridiag(zero_pad_slots(jnp.moveaxis(
+        jnp.stack([left, diag, right], axis=0), -1, 0)))
+
+    Qinv_q = matvec_lane(Qinv_t, qt)              # (n, K)
+    gamma0 = -(p.x_init + Qinv_q[:, 0])
+    gamma_rest = -(jnp.moveaxis(p.c, 0, -1) + Qinv_q[:, 1:]
+                   - matvec_lane(AQinv, qt[:, :-1])
+                   - matvec_lane(BRinv, rt))
+    gamma = jnp.concatenate([gamma0[:, None], gamma_rest], axis=1)
+    return S, jnp.moveaxis(gamma, 0, -1)                     # (K, n)
 
 
 def recover_primal(p: LQRProblem, lam):
@@ -112,17 +129,22 @@ def recover_primal(p: LQRProblem, lam):
 
 
 def _recover_primal_impl(p: LQRProblem, lam):
-    from tpcg.ops.lanelin import spd_inverse
+    """Lane-major (knot axis on lanes) like the assembly above: the small
+    solves are unrolled LDL^T lane chains, the mat-vecs broadcast FMAs."""
+    from tpcg.ops.lanelin import chol_solve_lane, matvec_lane
 
-    Qinv = spd_inverse(p.Q)
-    Rinv = spd_inverse(p.R)
-    # A_k' lam_{k+1}, absent for the terminal knot
-    At_lam = jnp.einsum('kji,kj->ki', p.A, lam[1:])          # (K-1, n)
-    At_lam = jnp.concatenate([At_lam, jnp.zeros_like(lam[:1])], axis=0)
-    x = jnp.einsum('kij,kj->ki', Qinv, At_lam - lam - p.q)
-    Bt_lam = jnp.einsum('kji,kj->ki', p.B, lam[1:])          # (K-1, m)
-    u = jnp.einsum('kij,kj->ki', Rinv, Bt_lam - p.r)
-    return x, u
+    Qt = jnp.moveaxis(p.Q, 0, -1)                 # (n, n, K)
+    Rt = jnp.moveaxis(p.R, 0, -1)                 # (m, m, K-1)
+    lam_t = jnp.moveaxis(lam, 0, -1)              # (n, K)
+    # A_k' lam_{k+1}, absent for the terminal knot: out[i] = sum_j A[j,i] l[j]
+    At = jnp.moveaxis(p.A, 0, -1)                 # (n, n, K-1)
+    At_lam = matvec_lane(jnp.swapaxes(At, 0, 1), lam_t[:, 1:])
+    At_lam = jnp.concatenate([At_lam, jnp.zeros_like(lam_t[:, :1])], axis=1)
+    x = chol_solve_lane(Qt, At_lam - lam_t - jnp.moveaxis(p.q, 0, -1))
+    Bt = jnp.moveaxis(p.B, 0, -1)                 # (n, m, K-1)
+    Bt_lam = matvec_lane(jnp.swapaxes(Bt, 0, 1), lam_t[:, 1:])
+    u = chol_solve_lane(Rt, Bt_lam - jnp.moveaxis(p.r, 0, -1))
+    return jnp.moveaxis(x, 0, -1), jnp.moveaxis(u, 0, -1)
 
 
 def solve_lqr(p: LQRProblem, config=None, backend: str = "auto"):

@@ -126,6 +126,31 @@ def matmul_lane(A, B):
     return C
 
 
+def matmul_lane_nt(A, B):
+    """Lane-major small matmul against a TRANSPOSED right factor:
+    ``A (n, m, *lanes)``, ``B (p, m, *lanes)`` -> ``C (n, p, *lanes)`` with
+    ``C[i,j] = sum_k A[i,k] * B[j,k]`` (i.e. ``A @ B^T``) — the same
+    outer-product FMA chain as :func:`matmul_lane`, saving the explicit
+    sublane transpose of ``B`` (common in symmetric products like
+    ``A Q^-1 A'``)."""
+    m = A.shape[1]
+    C = A[:, 0, None] * B[None, :, 0]
+    for k in range(1, m):
+        C = C + A[:, k, None] * B[None, :, k]
+    return C
+
+
+def matvec_lane(A, v):
+    """Lane-major small mat-vec: ``A (n, m, *lanes)``, ``v (m, *lanes)``
+    -> ``(n, *lanes)`` with ``out[i] = sum_k A[i,k] * v[k]`` elementwise
+    over the lane axes."""
+    m = A.shape[1]
+    r = A[:, 0] * v[None, 0]
+    for k in range(1, m):
+        r = r + A[:, k] * v[None, k]
+    return r
+
+
 def _to_lane(Mb):
     """``(..., n, n) -> (n, n, B)`` plus the restore function."""
     n = Mb.shape[-1]

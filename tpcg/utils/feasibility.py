@@ -45,7 +45,6 @@ _CHIP_TABLE = {
 _V5E = _CHIP_TABLE["v5e"]
 
 
-@functools.lru_cache(maxsize=1)
 def chip_params() -> dict:
     """Resolve the calibration row for the ambient accelerator. CPU (tests,
     interpret mode) and unknown TPU kinds use the v5e row — unknown kinds
@@ -55,19 +54,35 @@ def chip_params() -> dict:
     ``TPCG_VMEM_BYTES`` (env) overrides the scoped-VMEM budget without a
     source edit — the deployment knob for a generation whose Mosaic limit
     differs from the v5e's 16 MiB (run the calibration sweep documented in
-    :func:`fused_vmem_bytes`, export the measured budget, file the row)."""
+    :func:`fused_vmem_bytes`, export the measured budget, file the row).
+    The env var is re-read on every call (it is cheap), so setting or
+    changing it mid-process takes effect immediately; only the device-kind
+    lookup is cached."""
     import os
-
-    import jax
 
     env = os.environ.get("TPCG_VMEM_BYTES")
     if env:
         try:
-            return dict(vmem_bytes=int(env), calibrated=True)
+            v = int(env)
         except ValueError:
+            v = None
             warnings.warn(
                 f"ignoring non-integer TPCG_VMEM_BYTES={env!r}",
                 stacklevel=2)
+        if v is not None and v <= 0:
+            v = None
+            warnings.warn(
+                f"ignoring non-positive TPCG_VMEM_BYTES={env!r}",
+                stacklevel=2)
+        if v is not None:
+            return dict(vmem_bytes=v, calibrated=True)
+    return _device_row()
+
+
+@functools.lru_cache(maxsize=1)
+def _device_row() -> dict:
+    import jax
+
     try:
         dev = jax.devices()[0]
         kind = getattr(dev, "device_kind", "") or ""

@@ -115,3 +115,30 @@ def test_rti_multiplier_warm_start_cuts_inner_iterations():
     # both still track
     assert np.abs(np.asarray(warm.xs[-1])).max() < 0.1
     assert np.abs(np.asarray(cold.xs[-1])).max() < 0.1
+
+
+def test_fleet_rti_matches_per_robot_loops():
+    """Multi-robot serving (nmpc.simulate_fleet): B robots advanced by one
+    JOINTLY-solved QP per control period must reproduce the per-robot
+    single-loop trajectories. On the jnp backend the batched solve is the
+    vmapped single solve, so parity is exact; the packed-kernel route is
+    covered by the batched-solver parity suite (tests/test_packed.py)."""
+    from tpcg.models.rigid_body import manipulator_reach_problem
+    from tpcg.types import PCGConfig
+
+    cfg = PCGConfig(exit_tol=1e-6, max_iter=100,
+                    preconditioner="symmetric_stair")
+    p = manipulator_reach_problem(K=10, dt=0.01)
+    rng = np.random.default_rng(0)
+    B = 3
+    x0s = jnp.asarray(rng.uniform(-0.2, 0.2, (B, 14)), jnp.float32)
+    fleet = nmpc.simulate_fleet(p, x0s, n_steps=3, config=cfg,
+                                backend="jnp")
+    assert fleet.xs.shape == (3, B, 14)
+    assert fleet.us.shape == (3, B, 7)
+    assert bool(jnp.all(jnp.isfinite(fleet.xs)))
+    for b in range(B):
+        single = nmpc.simulate(p, x0s[b], n_steps=3, config=cfg)
+        np.testing.assert_allclose(np.asarray(fleet.xs[:, b]),
+                                   np.asarray(single.xs),
+                                   rtol=1e-5, atol=1e-6)

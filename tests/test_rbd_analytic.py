@@ -11,6 +11,29 @@ from tpcg.models import rbd_analytic as rba
 from tpcg.models import rigid_body as rb
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_persistent_cache():
+    """This module's jacfwd-over-closed-form graphs are the suite's
+    deepest flat XLA:CPU executables, and their PERSISTENT-CACHE entries
+    segfault the process — observed in round 4 on both the write
+    (put_executable_and_time) and, deterministically once written, the
+    read (get_executable_and_time) of the test_rk4_jacobian_parity
+    entry, strictly solo, same host/fingerprint that wrote it minutes
+    before. Recompiling every run (~2-3 min for the module) is the
+    robust trade; every other module keeps the warm cache."""
+    from jax._src import compilation_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    # the used/not-used decision is LATCHED at the first compile of the
+    # process (compilation_cache._cache_checked); a config change alone
+    # is ignored mid-suite — reset_cache() clears the latch
+    compilation_cache.reset_cache()
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+    compilation_cache.reset_cache()
+
+
 @pytest.fixture(scope="module")
 def model():
     return rb.iiwa14_like()

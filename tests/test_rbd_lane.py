@@ -116,3 +116,55 @@ def test_reach_problem_injects_lane_linearizer(model):
                                rtol=1e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(F1), np.asarray(F2),
                                rtol=1e-4, atol=2e-5)
+
+
+def test_inexact_jacobian_modes(model):
+    """The heun/euler tangent integrators (inexact-Jacobian RTI,
+    rbd_lane.make_lane_linearizer): the primal rollout F must be EXACTLY
+    the RK4 one in every mode (it defines the defect, hence the solution
+    manifold), while A/B approximate the exact Jacobian to the variational
+    integrator's order in dt."""
+    rng = np.random.default_rng(5)
+    K, dt = 10, 0.01
+    X = jnp.asarray(rng.uniform(-0.5, 0.5, (K, 14)), jnp.float32)
+    U = jnp.asarray(rng.uniform(-1, 1, (K - 1, 7)), jnp.float32)
+    A0, B0, F0 = jax.jit(rbl.make_lane_linearizer(model, dt))(X, U)
+    errs = {}
+    for ji in ("heun", "euler"):
+        A, B, F = jax.jit(
+            rbl.make_lane_linearizer(model, dt, jac_integrator=ji))(X, U)
+        # same RK4 discretization; ulp-level differences allowed (the
+        # rk4 mode's primal comes out of jax.linearize's partial eval,
+        # the cheap modes re-evaluate _rk4_t directly, and XLA:CPU
+        # FMA-contracts the two graphs differently)
+        np.testing.assert_allclose(np.asarray(F), np.asarray(F0),
+                                   rtol=1e-6, atol=1e-6)
+        errs[ji] = float(jnp.max(jnp.abs(A - A0)))
+        # close to the exact Jacobian (O(dt^3)/O(dt^2) local error at
+        # dt=0.01 on a chain with |J| ~ O(10^2))
+        np.testing.assert_allclose(np.asarray(A), np.asarray(A0),
+                                   atol=5e-3 if ji == "heun" else 5e-2)
+        np.testing.assert_allclose(np.asarray(B), np.asarray(B0),
+                                   atol=5e-3 if ji == "heun" else 5e-2)
+    # higher-order tangents are strictly more accurate
+    assert errs["heun"] < errs["euler"]
+    with pytest.raises(ValueError, match="jac_integrator"):
+        rbl.make_lane_linearizer(model, dt, jac_integrator="rk9")
+
+
+def test_inexact_jacobian_closed_loop(model):
+    """RTI closed loop with heun tangents tracks the exact-Jacobian loop:
+    same QP solution manifold (exact defects), slightly perturbed step
+    operator — trajectories must stay close over a short horizon."""
+    from tpcg.models import nmpc
+    from tpcg.types import PCGConfig
+
+    cfg = PCGConfig(exit_tol=1e-6, max_iter=100,
+                    preconditioner="symmetric_stair")
+    xs = {}
+    for ji in ("rk4", "heun"):
+        p = rb.manipulator_reach_problem(K=16, dt=0.01, jac_integrator=ji)
+        sim = nmpc.simulate(p, p.x_init, n_steps=6, config=cfg)
+        assert bool(jnp.all(jnp.isfinite(sim.xs)))
+        xs[ji] = np.asarray(sim.xs)
+    np.testing.assert_allclose(xs["heun"], xs["rk4"], rtol=1e-3, atol=1e-3)

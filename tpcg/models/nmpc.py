@@ -33,7 +33,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from tpcg.models.sqp import TrajOptProblem, _defects, _objective, _qp_step
+from tpcg.models.sqp import (TrajOptProblem, _build_qp, _defects,
+                             _objective, _qp_step)
 from tpcg.types import PCGConfig
 
 
@@ -136,6 +137,92 @@ def rti_step(qp, state: RTIState, x_measured, *, alpha: float = 1.0,
                    total_pcg_iters=state.total_pcg_iters + res.iters,
                    lam_u_lo=lul, lam_u_hi=luh)
     return new, u0, res
+
+
+def rti_setup_fleet(p: TrajOptProblem, *,
+                    config: Optional[PCGConfig] = None, reg: float = 1e-6,
+                    backend: str = "auto"):
+    """Build the jitted one-QP FLEET step: ``B`` robots sharing the
+    problem structure (costs/dynamics/horizon) but each with its own
+    carried trajectory, measured state, and multiplier warm start —
+    multi-robot MPC serving on one chip.
+
+    Returns ``(qp_fleet, defect_fleet)`` with
+    ``qp_fleet(X (B,K,n), U (B,K-1,m), x_measured (B,n), lam0 (B,K,n))
+    -> (dx, du, PCGResult)`` (leading ``B`` axis on every output; iters/
+    converged are per-robot). The linearization and lane-major Schur
+    assembly are ``vmap``-ed over the fleet (pure elementwise lane code —
+    the batch dim just widens the VPU work), and the ``B`` Schur systems
+    are solved JOINTLY by the lane-packed batched kernel
+    (:func:`tpcg.pcg_solve_batched` — P systems per grid step, per-
+    iteration scalar latency amortized across the pack), not by vmapping
+    ``B`` single solves. Actuator bounds follow the single-robot pattern
+    (:func:`rti_setup`) and are not yet plumbed here."""
+    from tpcg.models.lqr_kkt import recover_primal, schur_system
+    from tpcg.solver.api import pcg_solve_batched
+
+    config = config or PCGConfig(exit_tol=1e-8, max_iter=200,
+                                 preconditioner="symmetric_stair")
+
+    @jax.jit
+    def qp_fleet(X, U, x_measured, lam0):
+        qp = jax.vmap(lambda X_, U_, xi_: _build_qp(p, X_, U_, reg,
+                                                    x_init=xi_))(
+            X, U, x_measured)
+        S, gamma = jax.vmap(schur_system)(qp)
+        res = pcg_solve_batched(S.blocks, gamma, lam0, config=config,
+                                backend=backend)
+        dx, du = jax.vmap(recover_primal)(qp, res.lam)
+        return dx, du, res
+
+    defect_fleet = jax.jit(jax.vmap(
+        lambda X_, U_: jnp.max(jnp.abs(_defects(p, X_, U_)))))
+    return qp_fleet, defect_fleet
+
+
+def simulate_fleet(p: TrajOptProblem, x0s, n_steps: int, *,
+                   plant: Optional[Callable] = None,
+                   config: Optional[PCGConfig] = None,
+                   reg: float = 1e-6, alpha: float = 1.0,
+                   backend: str = "auto") -> RTIResult:
+    """Closed-loop RTI-MPC for a fleet: ``x0s (B, n)`` initial states,
+    one jointly-solved QP per control period for all ``B`` robots
+    (:func:`rti_setup_fleet`). Returns an :class:`RTIResult` whose
+    ``xs``/``us``/``pcg_iters`` carry shapes ``(T, B, n)`` / ``(T, B, m)``
+    / ``(T, B)`` and whose state fields have a leading ``B`` axis."""
+    plant = plant or p.dynamics
+    plant_v = jax.jit(jax.vmap(plant))
+    qp, defect = rti_setup_fleet(p, config=config, reg=reg,
+                                 backend=backend)
+    K, n = p.Q.shape[0], p.Q.shape[-1]
+    m = p.R.shape[-1]
+    dt_ = p.Q.dtype
+    x = jnp.asarray(x0s, dt_)
+    B = x.shape[0]
+    X = jnp.broadcast_to(x[:, None, :], (B, K, n)).astype(dt_)
+    U = jnp.zeros((B, K - 1, m), dt_)
+    lam = jnp.zeros((B, K, n), dt_)
+    total_iters = jnp.zeros((), jnp.int32)
+    xs, us, iters, defs = [], [], [], []
+    shift = jax.jit(jax.vmap(_shift_rows))
+    for _ in range(n_steps):
+        X = X.at[:, 0].set(x)  # re-anchor each robot at its measured state
+        dx, du, res = qp(X, U, x, lam)
+        Xn, Un = X + alpha * dx, U + alpha * du
+        u0 = Un[:, 0]          # apply the FIRST control of the new plan
+        X, U, lam = shift(Xn), shift(Un), shift(res.lam)
+        x = plant_v(x, u0)
+        total_iters = total_iters + jnp.sum(res.iters)
+        xs.append(x)
+        us.append(u0)
+        iters.append(res.iters)
+        defs.append(jnp.max(defect(X, U)))
+    state = RTIState(X=X, U=U, lam=lam,
+                     step=jnp.asarray(n_steps, jnp.int32),
+                     total_pcg_iters=total_iters)
+    return RTIResult(xs=jnp.stack(xs), us=jnp.stack(us),
+                     pcg_iters=jnp.stack(iters), defects=jnp.stack(defs),
+                     state=state)
 
 
 def simulate(p: TrajOptProblem, x0, n_steps: int, *,

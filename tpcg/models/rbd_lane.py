@@ -214,22 +214,68 @@ def rk4_step(model: ChainModel, x, u, dt: float):
     return out[:, 0]
 
 
-def make_lane_linearizer(model: ChainModel, dt: float):
+def _heun_t(cs, x, u, dt):
+    """Heun (explicit trapezoid, 2 stages) over the K-trailing dynamics —
+    the cheap variational integrator for :func:`make_lane_linearizer`'s
+    inexact-Jacobian mode."""
+    n = cs["n"]
+
+    def f(x_):
+        return jnp.concatenate([x_[n:], _fd_t(cs, x_[:n], x_[n:], u)])
+
+    k1 = f(x)
+    k2 = f(x + dt * k1)
+    return x + (dt / 2.0) * (k1 + k2)
+
+
+def _euler_t(cs, x, u, dt):
+    """Explicit Euler (1 stage) over the K-trailing dynamics."""
+    n = cs["n"]
+    qd = x[n:]
+    return x + dt * jnp.concatenate([qd, _fd_t(cs, x[:n], qd, u)])
+
+
+_JAC_STEPS = {"rk4": _rk4_t, "heun": _heun_t, "euler": _euler_t}
+
+
+def make_lane_linearizer(model: ChainModel, dt: float,
+                         jac_integrator: str = "rk4"):
     """Build ``linearize(X, U) -> (A, B, F)`` for injection via
     ``TrajOptProblem.linearize``: one ``jax.linearize`` of the K-trailing
     RK4 step, n+m basis-tangent columns (each a rank-manageable vmap
-    lane), primal rollout shared (the defect term comes free)."""
+    lane), primal rollout shared (the defect term comes free).
+
+    ``jac_integrator`` selects the integrator the TANGENTS propagate
+    through. ``"rk4"`` (default) is the exact Jacobian of the rollout.
+    ``"heun"`` / ``"euler"`` propagate tangents through a 2- / 1-stage
+    variational pass instead — the classic real-time-iteration
+    inexact-Jacobian trade: the primal rollout ``F`` (hence the defect,
+    hence the solution manifold) stays exact RK4, while ``A``/``B`` carry
+    an O(dt^3) / O(dt^2) local discretization error that Gauss-Newton
+    absorbs as a slightly perturbed step operator. The tangent pass is
+    where ~20/21 of the linearize cost lives (n2+m basis columns vs one
+    primal), so cutting its stage count 4 -> 2 nearly halves the NMPC
+    step's dominant term (measured in bench.py's NMPC stage; closed-loop
+    parity in tests/test_nmpc.py)."""
+    if jac_integrator not in _JAC_STEPS:
+        raise ValueError(f"jac_integrator must be one of "
+                         f"{sorted(_JAC_STEPS)}, got {jac_integrator!r}")
     cs = _np_consts(model)
     n2 = 2 * cs["n"]
     m = cs["n"]
+    jac_step = _JAC_STEPS[jac_integrator]
 
     def linearize(X, U):
         xu = jnp.concatenate([X[:-1].T, U.astype(X.dtype).T], axis=0)
 
         def step(xu_):
-            return _rk4_t(cs, xu_[:n2], xu_[n2:], dt)
+            return jac_step(cs, xu_[:n2], xu_[n2:], dt)
 
         prim, lin = jax.linearize(step, xu)
+        if jac_integrator != "rk4":
+            # defects must see the TRUE discretization — only the
+            # tangents ride the cheap integrator
+            prim = _rk4_t(cs, xu[:n2], xu[n2:], dt)
         eye = jnp.eye(n2 + m, dtype=X.dtype)
         cols = jax.vmap(
             lambda e: lin(jnp.broadcast_to(e[:, None], xu.shape)))(eye)

@@ -273,7 +273,8 @@ def iiwa14_like(damping: float = 0.1, armature: float = 0.15,
 def manipulator_reach_problem(K: int = 32, dt: float = 0.02,
                               model: ChainModel = None,
                               q_goal=None, dtype=jnp.float32,
-                              lane_linearizer: bool = True):
+                              lane_linearizer: bool = True,
+                              jac_integrator: str = "rk4"):
     """Nonlinear manipulator trajectory optimization (n=14, m=7 — the
     reference's iiwa14 benchmark shape) as a ``TrajOptProblem`` for
     :func:`tpcg.models.sqp.sqp_solve`: swing from hanging rest to a goal
@@ -282,7 +283,11 @@ def manipulator_reach_problem(K: int = 32, dt: float = 0.02,
     ``lane_linearizer=True`` (default) injects the lane-major trajectory
     linearizer (tpcg/models/rbd_lane.py — same physics, K-trailing
     layout; measured 0.59 ms vs 5.5 ms for the jacfwd route at K=128 on
-    v5e); set False to linearize by jacfwd over ``dynamics``."""
+    v5e); set False to linearize by jacfwd over ``dynamics``.
+    ``jac_integrator`` ("rk4"/"heun"/"euler") selects the variational
+    integrator for the A/B tangents — see
+    :func:`tpcg.models.rbd_lane.make_lane_linearizer` (the defect rollout
+    stays exact RK4 in every mode)."""
     from tpcg.models.sqp import TrajOptProblem
 
     model = model or iiwa14_like(dtype=dtype)
@@ -303,6 +308,7 @@ def manipulator_reach_problem(K: int = 32, dt: float = 0.02,
     lin = None
     if lane_linearizer:
         from tpcg.models.rbd_lane import make_lane_linearizer
-        lin = make_lane_linearizer(model, dt)
+        lin = make_lane_linearizer(model, dt,
+                                   jac_integrator=jac_integrator)
     return TrajOptProblem(dynamics=dyn, Q=Q, q=q_lin, R=R, r=r,
                           x_init=x_init, linearize=lin)

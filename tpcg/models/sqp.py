@@ -159,20 +159,12 @@ def _linearize(p: TrajOptProblem, X, U):
     return A, B, F
 
 
-def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None,
-             x_init=None, lam0=None, backend="auto", _lin=None):
-    """One Gauss-Newton QP: assemble the delta-form LQRProblem and PCG-solve
-    its Schur complement. Returns (dx, du, pcg_result).
-
-    ``x_init`` overrides ``p.x_init`` (the RTI-MPC loop re-anchors the QP
-    at each measured state); ``lam0`` warm-starts the inner PCG solve (the
-    reference's in/out ``h_lambda`` pattern, interface.cuh:58,76 — carried
-    across MPC steps). ``_lin=(A, B, d)`` injects a precomputed
-    linearization (bench/diagnostics: isolates the QP core — assembly +
-    solve + recovery — from the dynamics-autodiff cost, which dominates
-    the full step on TPU for deep rigid-body graphs)."""
-    from tpcg.solver.api import pcg_solve
-
+def _build_qp(p: TrajOptProblem, X, U, reg, bounds=None, al=None,
+              x_init=None, _lin=None) -> LQRProblem:
+    """Assemble the delta-form LQRProblem for one Gauss-Newton QP at the
+    trajectory (X, U) — the pure (vmappable) half of :func:`_qp_step`;
+    the fleet RTI path maps it over a robot batch and routes the stacked
+    systems through the lane-packed batched solver."""
     if x_init is None:
         x_init = p.x_init
     n = X.shape[-1]
@@ -206,10 +198,27 @@ def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None,
             Q_eff = Q_eff.at[1:].add(pen_hess[..., :, None] * eyeN)
     eyeK = jnp.broadcast_to(jnp.eye(n, dtype=X.dtype), p.Q.shape)
     dt = p.Q.dtype  # user dynamics may emit f64 under x64; pin to cost dtype
-    qp = LQRProblem(Q=Q_eff + reg * eyeK, q=gx.astype(dt), R=R_eff.astype(dt),
-                    r=gu.astype(dt), A=A.astype(dt), B=B.astype(dt),
-                    c=d.astype(dt),
-                    x_init=(x_init - X[0]).astype(dt))
+    return LQRProblem(Q=Q_eff + reg * eyeK, q=gx.astype(dt),
+                      R=R_eff.astype(dt), r=gu.astype(dt), A=A.astype(dt),
+                      B=B.astype(dt), c=d.astype(dt),
+                      x_init=(x_init - X[0]).astype(dt))
+
+
+def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None,
+             x_init=None, lam0=None, backend="auto", _lin=None):
+    """One Gauss-Newton QP: assemble the delta-form LQRProblem and PCG-solve
+    its Schur complement. Returns (dx, du, pcg_result).
+
+    ``x_init`` overrides ``p.x_init`` (the RTI-MPC loop re-anchors the QP
+    at each measured state); ``lam0`` warm-starts the inner PCG solve (the
+    reference's in/out ``h_lambda`` pattern, interface.cuh:58,76 — carried
+    across MPC steps). ``_lin=(A, B, d)`` injects a precomputed
+    linearization (bench/diagnostics: isolates the QP core — assembly +
+    solve + recovery — from the dynamics-autodiff cost, which dominates
+    the full step on TPU for deep rigid-body graphs)."""
+    from tpcg.solver.api import pcg_solve
+
+    qp = _build_qp(p, X, U, reg, bounds, al, x_init, _lin)
     S, gamma = schur_system(qp)
     res = pcg_solve(S, gamma, lam0, config=config, backend=backend)
     dx, du = recover_primal(qp, res.lam)

@@ -408,10 +408,15 @@ def stage_nmpc(out):
     # need >200 iterations at tol 1e-8; measured, not a kernel issue)
     x0s = p_n.x_init + jnp.asarray(_np.random.default_rng(0).uniform(
         -0.05, 0.05, (B_f, 14)), jnp.float32)
-    # heun tangents: the serving configuration (same inexact-Jacobian
-    # contract as row (a') — throughput is the point here)
-    simf = nmpc.simulate_fleet(p_h, x0s, n_steps=4, config=cfg_n)
-    qp_f, _ = nmpc.rti_setup_fleet(p_h, config=cfg_n)
+    # heun tangents + tol 1e-6: the serving configuration (the single-
+    # robot rows keep the tighter 1e-8 research contract; at 1e-8 an
+    # unlucky robot's QP sits at the f32 eta floor past 200 iterations —
+    # measured, trajectory-dependent — while every robot converges
+    # comfortably at the MPC-realistic 1e-6)
+    cfg_f = PCGConfig(exit_tol=1e-6, max_iter=200,
+                      preconditioner="symmetric_stair", method="pipelined")
+    simf = nmpc.simulate_fleet(p_h, x0s, n_steps=8, config=cfg_f)
+    qp_f, _ = nmpc.rti_setup_fleet(p_h, config=cfg_f)
     Xf, Uf, lamf = simf.state.X, simf.state.U, simf.state.lam
     gf = jnp.broadcast_to(Xf[:, :1], Xf.shape)
 
@@ -425,7 +430,7 @@ def stage_nmpc(out):
     t_f = device_solve_time(step_fleet, Xf, Uf, gf, lamf,
                             repeats=64, lo_repeats=8, reps=5)
     _emit(out, {"name": f"NMPC fleet RTI step B={B_f} iiwa14 K=128 "
-                        "(per-robot)",
+                        "tol 1e-6 (per-robot)",
                 "us": t_f * 1e6 / B_f, "iters": int(r_f.iters),
                 "conv": bool(r_f.converged), "xla_us": float("nan")})
 

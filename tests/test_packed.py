@@ -326,3 +326,40 @@ def test_plan_pack_selects_stream_at_fleet_scale():
     plan32 = plan_pack(256, 32, 14, jnp.float32,
                        precond="symmetric_stair", method="pipelined")
     assert plan32 is not None and not plan32[3]
+
+
+def test_packed_pipelined_replacement_is_per_system():
+    """Regression: the packed pipelined loop's residual-replacement eta
+    guard must be PER SYSTEM. The old all-systems guard disabled
+    replacement for the whole pack the moment any one system converged
+    (its eta drops under the 1000*tol guard forever) — observed as
+    packed-pipelined stagnation on warm-started NMPC fleets. Here system
+    0 starts AT its solution (converges on entry) while system 1 is
+    ill-conditioned enough that pipelined CG *requires* replacement
+    (measured: 49 iters with the cadence, max_iter exhaustion without) —
+    under the old guard this test fails."""
+    from tpcg.layout import random_spd_cbtd
+
+    n, K, tol = 4, 32, 1e-9
+    S1 = random_spd_cbtd(jax.random.PRNGKey(3), n, K, diag_boost=0.1)
+    g1 = jnp.ones((K, n), jnp.float32)
+    S0 = random_spd_cbtd(jax.random.PRNGKey(4), n, K)
+    g0 = jnp.ones((K, n), jnp.float32)
+    # exact f64 solution as system 0's warm start -> converged on entry
+    lam0_exact = jnp.asarray(np.linalg.solve(
+        np.asarray(S0.dense(), np.float64),
+        np.asarray(g0, np.float64).reshape(-1)).reshape(K, n), jnp.float32)
+    blocks = jnp.stack([S0.blocks, S1.blocks])
+    gamma = jnp.stack([g0, g1])
+    lam0 = jnp.stack([lam0_exact, jnp.zeros_like(g1)])
+    res = pcg_pallas_packed(blocks, None, gamma, lam0, exit_tol=tol,
+                            max_iter=300, precond="block_jacobi",
+                            method="pipelined", P=2, interpret=True)
+    assert int(res.iters[0]) <= 2
+    assert bool(res.converged[1]), int(res.iters[1])
+    # parity with the per-solve-cadence jnp twin
+    pb = precond.build(S1, "block_jacobi").blocks
+    r1 = pcg_pipelined_jnp(S1.blocks, pb, g1, jnp.zeros_like(g1),
+                           exit_tol=tol, max_iter=300)
+    assert abs(int(res.iters[1]) - int(r1.iters)) <= 3, (
+        int(res.iters[1]), int(r1.iters))

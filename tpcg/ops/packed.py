@@ -365,24 +365,35 @@ def _packed_pipelined_loop(mv, apply_pinv, vdot_seg, gamma, lam0, tol,
         u = jnp.where(active, u - alpha * q, u)
         w = jnp.where(active, w - alpha * z, w)
         if replace_every:
-            def replace(args):
-                x, p, *_ = args
-                r = gamma - mv(x)
-                u = apply_pinv(r)
-                w = mv(u)
-                s2 = mv(p)
-                q2 = apply_pinv(s2)
-                z2 = mv(q2)
-                return (x, p, r, u, w, s2, q2, z2)
+            # eta guard as in tpcg/solver/pipelined.py (replacements near
+            # convergence inject fp32 noise-floor error) — but PER SYSTEM:
+            # an all-systems guard silently DISABLED replacement for the
+            # whole pack once any one system converged (its eta drops
+            # under the guard forever), observed as packed-pipelined
+            # stagnation at 1e-6 on warm-started NMPC fleets whose jnp
+            # twin (per-solve cadence) converged fine
+            need = jnp.logical_and(active,
+                                   jnp.abs(eta) > 1000.0 * tol)  # (1, PK)
 
-            # scalar cadence; eta guard as in tpcg/solver/pipelined.py —
-            # replacements near convergence inject fp32 noise-floor error
+            def replace(args):
+                x, p, r0, u0, w0, s0, q0, z0 = args
+                r_n = gamma - mv(x)
+                u_n = apply_pinv(r_n)
+                w_n = mv(u_n)
+                s_n = mv(p)
+                q_n = apply_pinv(s_n)
+                z_n = mv(q_n)
+                blend = lambda new, old: jnp.where(need, new, old)
+                return (x, p, blend(r_n, r0), blend(u_n, u0),
+                        blend(w_n, w0), blend(s_n, s0), blend(q_n, q0),
+                        blend(z_n, z0))
+
             re32 = jnp.int32(replace_every)  # i64-safe under x64
             do_replace = jnp.logical_and(
                 step % re32 == re32 - jnp.int32(1), step > jnp.int32(0))
-            from tpcg.solver.pipelined import all_true
-            do_replace = jnp.logical_and(
-                do_replace, all_true(jnp.abs(eta) > 1000.0 * tol))
+            # run the (whole-pack) replacement pass iff any system needs it
+            any_need = jnp.max(need.astype(jnp.int32)) == jnp.int32(1)
+            do_replace = jnp.logical_and(do_replace, any_need)
             x, p, r, u, w, s, q, z = jax.lax.cond(
                 do_replace, replace, lambda args: args,
                 (x, p, r, u, w, s, q, z))

@@ -767,6 +767,36 @@ def _fleet_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
             r = jnp.where(active, r - alpha * s, r)
             u = jnp.where(active, u - alpha * q, u)
             w = jnp.where(active, w - alpha * z, w)
+            # eta-guarded PER-SYSTEM residual replacement (cadence +
+            # guard of tpcg/ops/packed.py's fleet loop; the single-system
+            # kernel above has the scalar form). Collective safety: eta
+            # is mailbox-all-reduced so `need`/`do_replace` are identical
+            # on every device and the halo exchanges inside the cond stay
+            # matched — same discipline as the single-system replace.
+            need = jnp.logical_and(active, jnp.abs(eta) > 1000.0 * tol)
+
+            def replace(args):
+                x, p, r0, u0, w0, s0, q0, z0 = args
+                r_n = gamma - mv(x, exx)
+                u_n = apply_pinv(r_n, exx)
+                w_n = mv(u_n, exx)
+                s_n = mv(p, exx)
+                q_n = apply_pinv(s_n, exx)
+                z_n = mv(q_n, exx)
+                blend = lambda newv, oldv: jnp.where(need, newv, oldv)
+                return (x, p, blend(r_n, r0), blend(u_n, u0),
+                        blend(w_n, w0), blend(s_n, s0), blend(q_n, q0),
+                        blend(z_n, z0))
+
+            re32 = jnp.int32(16)
+            do_replace = jnp.logical_and(
+                jax.lax.rem(step, re32) == re32 - jnp.int32(1),
+                step > jnp.int32(0))
+            any_need = jnp.max(need.astype(jnp.int32)) == jnp.int32(1)
+            do_replace = jnp.logical_and(do_replace, any_need)
+            x, p, r, u, w, s, q, z = jax.lax.cond(
+                do_replace, replace, lambda a: a,
+                (x, p, r, u, w, s, q, z))
             conv_new = jnp.logical_and(active, jnp.abs(eta) < tol)
             conv32 = jnp.maximum(conv32, conv_new.astype(jnp.int32))
             done32 = jnp.maximum(done32, conv32)

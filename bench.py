@@ -332,21 +332,22 @@ def stage_fleet(out, K_b):
                 "xla_us": t_xb * 1e6 / B})
 
 
-def stage_nmpc(out):
-    """The metric the reference's downstream consumer actually reports
-    (MPCGPU per-control-step, README.md:66-77) — µs per warm-started RTI
-    NMPC control step at iiwa14 scale: linearize full rigid-body dynamics
-    + assemble the LQR-KKT Schur system + PCG-solve + recover the primal
-    step, everything device-resident across steps (tpcg/models/nmpc.py)."""
+def _nmpc_setup():
+    """Shared NMPC-stage setup: problem, config, and a 4-step warm state.
+
+    The NMPC group is split into FOUR stages (step / heun / fleet / core)
+    because the monolithic stage's ~12 large executables (full RTI-step
+    graphs chained 128 deep) exceed any single per-stage timeout when the
+    compile cache is cold — round 4's driver bench stalled through both
+    attempts and recorded no NMPC rows. Each split stage compiles 2-4
+    executables; compile progress persists across stages and retries via
+    the cache, so the group converges even from cold."""
     jax, interp = _worker_setup()
     import jax.numpy as jnp
     from tpcg.models import nmpc
     from tpcg.models.rigid_body import manipulator_reach_problem
-    from tpcg.models.sqp import _linearize, _qp_step
     from tpcg.types import PCGConfig
-    from tpcg.utils.timing import device_solve_time
 
-    err("# running: NMPC RTI control step (iiwa14 n=14, K=128)")
     p_n = manipulator_reach_problem(K=128, dt=0.01)
     # in-kernel symmetric_stair pipelined is the honest-timer winner for
     # the per-step contract (S changes every step, so stair_refined's
@@ -356,8 +357,20 @@ def stage_nmpc(out):
     sim = nmpc.simulate(p_n, p_n.x_init, n_steps=4, config=cfg_n)
     st = sim.state
     g_carrier = jnp.broadcast_to(st.X[0], st.X.shape)  # row 0 = x_measured
+    return jax, jnp, nmpc, p_n, cfg_n, st, g_carrier
 
-    # (a) the FULL control step: lane-major rigid-body linearize
+
+def stage_nmpc_step(out):
+    """µs per warm-started RTI NMPC control step at iiwa14 scale — the
+    metric the reference's downstream consumer actually reports (MPCGPU
+    per-control-step, README.md:66-77): linearize full rigid-body dynamics
+    + assemble the LQR-KKT Schur system + PCG-solve + recover the primal
+    step, everything device-resident across steps (tpcg/models/nmpc.py)."""
+    jax, jnp, nmpc, p_n, cfg_n, st, g_carrier = _nmpc_setup()
+    from tpcg.utils.timing import device_solve_time
+
+    err("# running: NMPC RTI control step (iiwa14 n=14, K=128)")
+    # the FULL control step: lane-major rigid-body linearize
     # (tpcg/models/rbd_lane.py) + assemble + warm-started PCG + recovery
     qp_n, _ = nmpc.rti_setup(p_n, config=cfg_n)
 
@@ -375,13 +388,20 @@ def stage_nmpc(out):
                 "us": t_s * 1e6, "iters": int(r_s.iters),
                 "conv": bool(r_s.converged), "xla_us": float("nan")})
 
-    # (a') same step with Heun TANGENTS (jac_integrator="heun",
-    # tpcg/models/rbd_lane.py): the defect rollout stays exact RK4, A/B
-    # carry a ~3e-4 relative discretization error that the RTI loop
-    # absorbs (closed-loop trajectory within 1.4e-4 of the exact-Jacobian
-    # loop, scripts/exp_linearize.py) — the linearize-bound step's
-    # cheap-Jacobian contract. (Euler tangents measured as a dead end at
-    # this tolerance: the QP solve stops converging.)
+
+def stage_nmpc_heun(out):
+    """The RTI step with Heun TANGENTS (jac_integrator="heun",
+    tpcg/models/rbd_lane.py): the defect rollout stays exact RK4, A/B
+    carry a ~3e-4 relative discretization error that the RTI loop
+    absorbs (closed-loop trajectory within 1.4e-4 of the exact-Jacobian
+    loop, scripts/exp_linearize.py) — the linearize-bound step's
+    cheap-Jacobian contract. (Euler tangents measured as a dead end at
+    this tolerance: the QP solve stops converging.)"""
+    jax, jnp, nmpc, p_n, cfg_n, st, g_carrier = _nmpc_setup()
+    from tpcg.models.rigid_body import manipulator_reach_problem
+    from tpcg.utils.timing import device_solve_time
+
+    err("# running: NMPC RTI control step, heun tangents")
     p_h = manipulator_reach_problem(K=128, dt=0.01, jac_integrator="heun")
     qp_h, _ = nmpc.rti_setup(p_h, config=cfg_n)
 
@@ -396,17 +416,28 @@ def stage_nmpc(out):
                 "us": t_h * 1e6, "iters": int(r_h.iters),
                 "conv": bool(r_h.converged), "xla_us": float("nan")})
 
-    # (a'') FLEET RTI: B robots advanced by ONE jointly-solved QP per
-    # control period (tpcg/models/nmpc.py rti_setup_fleet — vmapped
-    # lane-major linearize + assembly, the B Schur systems solved in the
-    # lane-packed batched kernel). Per-robot cost is the serving metric.
-    B_f = 8
+
+def stage_nmpc_fleet(out):
+    """FLEET RTI: B robots advanced by ONE jointly-solved QP per control
+    period (tpcg/models/nmpc.py rti_setup_fleet — vmapped lane-major
+    linearize + assembly, the B Schur systems solved in the lane-packed
+    batched kernel). Per-robot cost is the serving metric."""
+    jax, interp = _worker_setup()
+    import jax.numpy as jnp
     import numpy as _np
+    from tpcg.models import nmpc
+    from tpcg.models.rigid_body import manipulator_reach_problem
+    from tpcg.types import PCGConfig
+    from tpcg.utils.timing import device_solve_time
+
+    err("# running: NMPC fleet RTI step")
+    B_f = 8
+    p_h = manipulator_reach_problem(K=128, dt=0.01, jac_integrator="heun")
     # each robot starts at a small perturbation of the problem's rest
     # state (the single-robot rows' warmup pattern — large random starts
     # with zero controls give infeasible trajectories whose QPs genuinely
     # need >200 iterations at tol 1e-8; measured, not a kernel issue)
-    x0s = p_n.x_init + jnp.asarray(_np.random.default_rng(0).uniform(
+    x0s = p_h.x_init + jnp.asarray(_np.random.default_rng(0).uniform(
         -0.05, 0.05, (B_f, 14)), jnp.float32)
     # heun tangents + tol 1e-6: the serving configuration (the single-
     # robot rows keep the tighter 1e-8 research contract; at 1e-8 an
@@ -434,8 +465,71 @@ def stage_nmpc(out):
                 "us": t_f * 1e6 / B_f, "iters": int(r_f.iters),
                 "conv": bool(r_f.converged), "xla_us": float("nan")})
 
-    # (b) the QP CORE at a fixed linearization: LQR-KKT assembly + Schur
-    # system + warm-started PCG + primal recovery — fused vs pure-XLA
+
+def stage_nmpc_lagged(out):
+    """LAGGED-JACOBIAN RTI serving (tpcg/models/nmpc.py
+    rti_setup_lagged): A/B refreshed every k-th control step and
+    shifted/reused in between, the defect rollout exact every step. The
+    reuse step costs rollout + QP core instead of linearize + QP core —
+    the amortized serving trade for the linearize-bound step."""
+    jax, jnp, nmpc, p_n, cfg_n, st, g_carrier = _nmpc_setup()
+    from tpcg.models.rigid_body import manipulator_reach_problem
+    from tpcg.types import PCGResult
+    from tpcg.utils.timing import device_solve_time
+
+    err("# running: NMPC lagged-Jacobian RTI")
+    # serving configuration: heun tangents for the (amortized) refresh
+    p_h = manipulator_reach_problem(K=128, dt=0.01, jac_integrator="heun")
+    lin, qp_reuse, _defect = nmpc.rti_setup_lagged(p_h, config=cfg_n)
+    A0, B0 = lin(st.X, st.U)
+
+    # (a) the REUSE step: exact defect rollout + assembly + warm PCG +
+    # recovery with injected (stale) A/B. Nudges: A_ rides the chain's
+    # S slot, X/x_measured ride g_, and B picks up the chain dependence
+    # through a g_-derived inert eps so its Schur contributions
+    # (B R^-1 B^T) cannot be loop-hoisted.
+    def reuse_fn(A_, B_, g_, l_):
+        eps = g_[0, 0] - g_carrier[0, 0]
+        dx, du, res = qp_reuse(st.X + g_ * 1e-20, st.U, g_[0], l_,
+                               A_, B_ + eps)
+        return res
+
+    r_r = reuse_fn(A0, B0, g_carrier, st.lam)
+    t_r = device_solve_time(reuse_fn, A0, B0, g_carrier, st.lam,
+                            repeats=128, lo_repeats=16, reps=5)
+    _emit(out, {"name": "NMPC lagged-RTI REUSE step iiwa14 K=128 "
+                        "(rollout+QP, stale A/B)",
+                "us": t_r * 1e6, "iters": int(r_r.iters),
+                "conv": bool(r_r.converged), "xla_us": float("nan")})
+
+    # (b) the refresh pass alone (heun tangents), amortized over k steps
+    def lin_fn(X_, _B, g_, l_):
+        A, B = lin(X_ + g_ * 1e-20, st.U)
+        return PCGResult(lam=l_ + 0.0 * g_, iters=jnp.int32(0),
+                         converged=jnp.bool_(True),
+                         eta=jnp.sum(A) + jnp.sum(B))
+
+    lin_fn(st.X, B0, g_carrier, st.lam)
+    t_l = device_solve_time(lin_fn, st.X, B0, g_carrier, st.lam,
+                            repeats=128, lo_repeats=16, reps=5)
+    _emit(out, {"name": "NMPC lagged-RTI refresh pass (heun linearize)",
+                "us": t_l * 1e6, "iters": -1, "conv": True,
+                "xla_us": float("nan")})
+    for k in (2, 4):
+        _emit(out, {"name": f"NMPC lagged-RTI amortized step k={k} "
+                            "(reuse + refresh/k)",
+                    "us": (t_r + t_l / k) * 1e6, "iters": int(r_r.iters),
+                    "conv": bool(r_r.converged), "xla_us": float("nan")})
+
+
+def stage_nmpc_core(out):
+    """The QP CORE at a fixed linearization: LQR-KKT assembly + Schur
+    system + warm-started PCG + primal recovery — fused vs pure-XLA."""
+    jax, jnp, nmpc, p_n, cfg_n, st, g_carrier = _nmpc_setup()
+    from tpcg.models.sqp import _linearize, _qp_step
+    from tpcg.utils.timing import device_solve_time
+
+    err("# running: NMPC QP core")
     A_n, B_n, F_n = jax.jit(lambda X, U: _linearize(p_n, X, U))(st.X, st.U)
     d_n = F_n - st.X[1:]
     for name, bk in (("fused sym_stair", "auto"), ("pure-XLA", "jnp")):
@@ -458,7 +552,11 @@ STAGES = {
     "scale": stage_scale,
     "fleet128": functools.partial(stage_fleet, K_b=128),
     "fleet32": functools.partial(stage_fleet, K_b=32),
-    "nmpc": stage_nmpc,
+    "nmpc_step": stage_nmpc_step,
+    "nmpc_heun": stage_nmpc_heun,
+    "nmpc_fleet": stage_nmpc_fleet,
+    "nmpc_core": stage_nmpc_core,
+    "nmpc_lagged": stage_nmpc_lagged,
 }
 
 
@@ -473,6 +571,14 @@ HEADLINE_METRIC = (
     "in-kernel symmetric-stair classic/pipelined(/replace0) and "
     "materialized stair_refined fused Pallas kernels; baseline = pure-XLA "
     "while_loop PCG on the same chip)")
+
+QUICK_METRIC = (
+    "iiwa14 per-solve device time to 1e-6 (n=14, K=128, fp32, "
+    "preconditioner construction INCLUDED per solve — the timing chain "
+    "perturbs S so S-dependent work cannot be loop-hoisted; QUICK fallback "
+    "after relay stalls: shorter chains, best of in-kernel symmetric-stair "
+    "classic/pipelined/replace0 only — stair_refined NOT measured; "
+    "baseline = pure-XLA while_loop PCG on the same chip)")
 
 
 def _run_stage(name, out, timeout, tries):
@@ -514,8 +620,10 @@ def main():
     # moment it exists, so a driver-side kill later loses only detail rows.
     ok = _run_stage("headline", out, timeout=min(300, budget * 0.5),
                     tries=3)
+    used_quick = False
     if not ok:
         ok = _run_stage("headline_quick", out, timeout=180, tries=2)
+        used_quick = ok
 
     headline = None
     if os.path.exists(out):
@@ -526,26 +634,36 @@ def main():
                     headline = d
 
     if headline is not None:
-        print(json.dumps({
-            "metric": HEADLINE_METRIC,
+        metric = HEADLINE_METRIC
+        if used_quick:
+            # the quick fallback skips the stair_refined variant — the
+            # metric text must not overstate what was measured
+            metric = QUICK_METRIC
+        headline_json = json.dumps({
+            "metric": metric,
             "value": round(headline["headline_fused_s"] * 1e6, 2),
             "unit": "us",
             "vs_baseline": round(headline["headline_xla_s"]
                                  / headline["headline_fused_s"], 3),
-        }), flush=True)
+        })
     else:
         # every attempt stalled — emit an explicit failure record rather
         # than nothing (the driver records SOME line; value null is the
         # honest statement that the relay never let a measurement finish)
-        print(json.dumps({
+        headline_json = json.dumps({
             "metric": HEADLINE_METRIC, "value": None, "unit": "us",
             "vs_baseline": None,
             "error": "relay stalled through all headline attempts",
-        }), flush=True)
+        })
+    print(headline_json, flush=True)
 
     # detail stages, budget permitting, most valuable first (the NMPC
-    # rows are the reference's downstream-consumer metric)
-    for name in ("nmpc", "fleet128", "golden", "scale", "fleet32"):
+    # rows are the reference's downstream-consumer metric). The NMPC group
+    # is four small stages so each fits a per-stage timeout even with a
+    # cold compile cache (the round-4 monolithic stage never finished).
+    for name in ("nmpc_step", "nmpc_heun", "nmpc_core", "fleet128",
+                 "golden", "nmpc_lagged", "nmpc_fleet", "scale",
+                 "fleet32"):
         left = deadline - time.monotonic()
         if left < 90:
             err(f"## budget exhausted — skipping {name} and beyond")
@@ -567,6 +685,13 @@ def main():
     for d in by_name.values():
         err(f"{d['name']:52s} {d['us']:10.1f} {d['iters']:6d} "
             f"{str(d['conv']):>5s} {d['xla_us']:10.1f}")
+
+    # Re-print the headline JSON as the chronologically LAST line of
+    # output: the driver captures stdout+stderr merged and parses the
+    # final line (round 4 printed the JSON mid-run and the driver recorded
+    # parsed=null with the detail table as the tail). The early print
+    # above still guards against a driver-side kill mid-detail-stages.
+    print(headline_json, flush=True)
 
 
 if __name__ == "__main__":

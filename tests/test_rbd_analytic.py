@@ -20,18 +20,33 @@ def _no_persistent_cache():
     read (get_executable_and_time) of the test_rk4_jacobian_parity
     entry, strictly solo, same host/fingerprint that wrote it minutes
     before. Recompiling every run (~2-3 min for the module) is the
-    robust trade; every other module keeps the warm cache."""
-    from jax._src import compilation_cache
+    robust trade; every other module keeps the warm cache.
+
+    The latch reset rides jax._src internals (a JAX upgrade may move
+    them); if the import/reset fails this degrades to leaving the cache
+    config as-is with a warning — recompilation-or-cache behavior then
+    follows whatever JAX does, rather than failing collection."""
+    try:
+        from jax._src import compilation_cache
+        reset = compilation_cache.reset_cache
+    except Exception as e:  # pragma: no cover - depends on JAX version
+        import warnings
+
+        warnings.warn(
+            f"jax._src.compilation_cache internals unavailable ({e}); "
+            "persistent-cache disabling skipped for this module")
+        yield
+        return
 
     old = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
     # the used/not-used decision is LATCHED at the first compile of the
     # process (compilation_cache._cache_checked); a config change alone
     # is ignored mid-suite — reset_cache() clears the latch
-    compilation_cache.reset_cache()
+    reset()
     yield
     jax.config.update("jax_compilation_cache_dir", old)
-    compilation_cache.reset_cache()
+    reset()
 
 
 @pytest.fixture(scope="module")

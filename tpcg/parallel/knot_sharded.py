@@ -71,13 +71,15 @@ class _Carry(NamedTuple):
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis_name", "max_iter",
                                     "identity_pinv", "method",
-                                    "stop_on_nonfinite", "precond_refine"))
+                                    "stop_on_nonfinite", "precond_refine",
+                                    "replace_every"))
 def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
                      axis_name: str = "knot", exit_tol, max_iter: int,
                      identity_pinv: bool = False,
                      method: str = "classic",
                      stop_on_nonfinite: bool = False,
-                     precond_refine: int = 0) -> PCGResult:
+                     precond_refine: int = 0,
+                     replace_every: int = 16) -> PCGResult:
     """Full PCG with the knot axis sharded over ``mesh[axis_name]``.
 
     Inputs are global-shape canonical arrays (``(K, 3, n, n)`` / ``(K, n)``);
@@ -126,7 +128,8 @@ def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
             from tpcg.solver.pipelined import pipelined_pcg_body
             return pipelined_pcg_body(
                 lambda v: mv(S_loc, v), apply_pinv, vdot, g_loc, l_loc,
-                tol, max_iter, stop_on_nonfinite)
+                tol, max_iter, stop_on_nonfinite,
+                replace_every=replace_every)
 
         if method == "fixed_pipelined":
             # bounded-latency mode over collectives: a STATIC trip count
@@ -208,7 +211,8 @@ def pcg_knot_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh: Mesh,
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "axis_name", "batch_axis_name",
                                     "max_iter", "identity_pinv", "method",
-                                    "stop_on_nonfinite", "precond_refine"))
+                                    "stop_on_nonfinite", "precond_refine",
+                                    "replace_every"))
 def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
                              mesh: Mesh, axis_name: str = "knot",
                              batch_axis_name: Optional[str] = "batch",
@@ -216,7 +220,8 @@ def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
                              identity_pinv: bool = False,
                              method: str = "classic",
                              stop_on_nonfinite: bool = False,
-                             precond_refine: int = 0) -> PCGResult:
+                             precond_refine: int = 0,
+                             replace_every: int = 16) -> PCGResult:
     """Fleet of B systems, each with its knot axis sharded: the 2D-mesh
     (batch x knot) composition — batch is the zero-communication DCN-friendly
     axis, knot halos/reductions ride ICI.
@@ -346,7 +351,6 @@ def pcg_knot_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *,
         B_loc = g_loc.shape[0]
         apply_pinv = refined_pinv(S_loc, P_loc)
         smv = lambda v: mv(S_loc, v)
-        replace_every = 16
 
         r = g_loc - smv(l_loc)
         u = apply_pinv(r)
@@ -491,6 +495,7 @@ def pcg_solve_sharded(S, gamma, lam0=None, *, mesh: Mesh,
             mesh=mesh, axis_name=axis_name, exit_tol=config.exit_tol,
             max_iter=config.max_iter, method=config.method,
             precond=config.preconditioner if in_kernel else None,
+            replace_every=config.replace_every,
             interpret_params=interpret_params)
 
     identity = config.preconditioner == "identity" and Pinv is None
@@ -509,4 +514,5 @@ def pcg_solve_sharded(S, gamma, lam0=None, *, mesh: Mesh,
                             max_iter=config.max_iter,
                             identity_pinv=identity, method=config.method,
                             stop_on_nonfinite=config.stop_on_nonfinite,
-                            precond_refine=config.precond_refine)
+                            precond_refine=config.precond_refine,
+                            replace_every=config.replace_every)

@@ -63,7 +63,7 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
             hsend_l, hsend_r, hrecvA_l, hrecvA_r, hrecvB_l, hrecvB_r,
             mb_send, mbA_recv, mbB_recv,
             *, n, Kd, D, max_iter, axis_name, method="classic",
-            precond="explicit", mb_rows=8):
+            precond="explicit", mb_rows=8, replace_every=16):
     my = jax.lax.axis_index(axis_name)
     left = jax.lax.rem(my - 1 + D, jnp.int32(D))
     right = jax.lax.rem(my + 1, jnp.int32(D))
@@ -304,15 +304,18 @@ def _kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
             # eta-guarded residual replacement (tpcg/solver/pipelined.py);
             # the decision derives from replicated eta/iters, so every
             # device takes the same branch — conditional communication
-            # stays collective-safe
-            re32 = jnp.int32(16)
-            do_replace = jnp.logical_and(
-                jax.lax.rem(iters, re32) == re32 - 1, iters > 0)
-            do_replace = jnp.logical_and(
-                do_replace, jnp.abs(eta) > 1000.0 * tol)
-            x, p, r, u, w, s, q, z = jax.lax.cond(
-                do_replace, replace, lambda a: a,
-                (x, p, r, u, w, s, q, z))
+            # stays collective-safe. replace_every=0 compiles the cond
+            # (and its halo rounds) out entirely — the zero-extra-sync
+            # mode round 3 validated as exactly safe at K<=128.
+            if replace_every:
+                re32 = jnp.int32(replace_every)
+                do_replace = jnp.logical_and(
+                    jax.lax.rem(iters, re32) == re32 - 1, iters > 0)
+                do_replace = jnp.logical_and(
+                    do_replace, jnp.abs(eta) > 1000.0 * tol)
+                x, p, r, u, w, s, q, z = jax.lax.cond(
+                    do_replace, replace, lambda a: a,
+                    (x, p, r, u, w, s, q, z))
             converged = jnp.abs(eta) < tol
             return (x, r, u, w, z, q, s, p, eta, alpha, iters + 1,
                     converged)
@@ -382,6 +385,7 @@ def _kernel_nopinv(tol_ref, S_ref, gamma_ref, lam0_ref, *rest, **kw):
 def pcg_rdma_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
                      axis_name: str = "knot", exit_tol, max_iter: int,
                      method: str = "classic", precond: str = None,
+                     replace_every: int = 16,
                      interpret_params=None) -> PCGResult:
     """Knot-sharded PCG solve through the persistent RDMA kernel.
 
@@ -436,7 +440,8 @@ def pcg_rdma_sharded(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
     kern_fn = _kernel if precond == "explicit" else _kernel_nopinv
     kern = functools.partial(kern_fn, n=n, Kd=Kd, D=D, max_iter=max_iter,
                              axis_name=axis_name, method=method,
-                             precond=precond, mb_rows=mb_rows)
+                             precond=precond, mb_rows=mb_rows,
+                             replace_every=replace_every)
 
     def per_device(S_sh, P_sh, g_sh, l_sh):
         S_lm = to_lane_major(S_sh)          # (3, n, n, Kd)
@@ -515,7 +520,7 @@ def _fleet_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                   mb_send, mbA_recv, mbB_recv,
                   *, n, Kd, B, D, L, max_iter, axis_name,
                   method="classic", precond="explicit", mb_rows=8,
-                  stop_on_nonfinite=False):
+                  stop_on_nonfinite=False, replace_every=16):
     """Fleet (batch x knot) persistent RDMA kernel.
 
     Local layout is the lane-packed form of tpcg/ops/packed.py: B systems'
@@ -788,15 +793,18 @@ def _fleet_kernel(tol_ref, S_ref, pinv_ref, gamma_ref, lam0_ref,
                         blend(w_n, w0), blend(s_n, s0), blend(q_n, q0),
                         blend(z_n, z0))
 
-            re32 = jnp.int32(16)
-            do_replace = jnp.logical_and(
-                jax.lax.rem(step, re32) == re32 - jnp.int32(1),
-                step > jnp.int32(0))
-            any_need = jnp.max(need.astype(jnp.int32)) == jnp.int32(1)
-            do_replace = jnp.logical_and(do_replace, any_need)
-            x, p, r, u, w, s, q, z = jax.lax.cond(
-                do_replace, replace, lambda a: a,
-                (x, p, r, u, w, s, q, z))
+            # replace_every=0 compiles the replacement (and its halo
+            # rounds) out entirely — matches the packed/pipelined API
+            if replace_every:
+                re32 = jnp.int32(replace_every)
+                do_replace = jnp.logical_and(
+                    jax.lax.rem(step, re32) == re32 - jnp.int32(1),
+                    step > jnp.int32(0))
+                any_need = jnp.max(need.astype(jnp.int32)) == jnp.int32(1)
+                do_replace = jnp.logical_and(do_replace, any_need)
+                x, p, r, u, w, s, q, z = jax.lax.cond(
+                    do_replace, replace, lambda a: a,
+                    (x, p, r, u, w, s, q, z))
             conv_new = jnp.logical_and(active, jnp.abs(eta) < tol)
             conv32 = jnp.maximum(conv32, conv_new.astype(jnp.int32))
             done32 = jnp.maximum(done32, conv32)
@@ -866,6 +874,7 @@ def pcg_rdma_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
                              max_iter: int, method: str = "classic",
                              precond: str = None,
                              stop_on_nonfinite: bool = False,
+                             replace_every: int = 16,
                              interpret_params=None) -> PCGResult:
     """Fleet (batch x knot) solve through the persistent RDMA kernel:
     ``S_blocks (B, K, 3, n, n)``, vectors ``(B, K, n)``, knot axis sharded
@@ -910,7 +919,8 @@ def pcg_rdma_sharded_batched(S_blocks, Pinv_blocks, gamma, lam0, *, mesh,
                              max_iter=max_iter, axis_name=axis_name,
                              method=method, precond=precond,
                              mb_rows=mb_rows,
-                             stop_on_nonfinite=stop_on_nonfinite)
+                             stop_on_nonfinite=stop_on_nonfinite,
+                             replace_every=replace_every)
 
     def pack_mats(blocks_sh):   # (B, Kd, 3, n, n) -> (3, n, n, B*Kd)
         lm = jax.vmap(to_lane_major)(blocks_sh)      # (B, 3, n, n, Kd)

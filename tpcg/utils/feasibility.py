@@ -57,26 +57,33 @@ def chip_params() -> dict:
     :func:`fused_vmem_bytes`, export the measured budget, file the row).
     The env var is re-read on every call (it is cheap), so setting or
     changing it mid-process takes effect immediately; only the device-kind
-    lookup is cached."""
+    lookup is cached. Parsing (and the malformed-value warning) is memoized
+    per distinct string, so a bad value warns once, not on every call."""
     import os
 
     env = os.environ.get("TPCG_VMEM_BYTES")
     if env:
-        try:
-            v = int(env)
-        except ValueError:
-            v = None
-            warnings.warn(
-                f"ignoring non-integer TPCG_VMEM_BYTES={env!r}",
-                stacklevel=2)
-        if v is not None and v <= 0:
-            v = None
-            warnings.warn(
-                f"ignoring non-positive TPCG_VMEM_BYTES={env!r}",
-                stacklevel=2)
+        v = _parse_vmem_env(env)
         if v is not None:
             return dict(vmem_bytes=v, calibrated=True)
     return _device_row()
+
+
+@functools.lru_cache(maxsize=8)
+def _parse_vmem_env(env: str):
+    """int(env) if it is a positive integer, else None (warning once per
+    distinct malformed value — the lru_cache is the once-latch)."""
+    try:
+        v = int(env)
+    except ValueError:
+        warnings.warn(f"ignoring non-integer TPCG_VMEM_BYTES={env!r}",
+                      stacklevel=3)
+        return None
+    if v <= 0:
+        warnings.warn(f"ignoring non-positive TPCG_VMEM_BYTES={env!r}",
+                      stacklevel=3)
+        return None
+    return v
 
 
 @functools.lru_cache(maxsize=1)

@@ -92,6 +92,57 @@ def rti_setup(p: TrajOptProblem, *, config: Optional[PCGConfig] = None,
     return qp, defect
 
 
+def rti_setup_lagged(p: TrajOptProblem, *,
+                     config: Optional[PCGConfig] = None,
+                     reg: float = 1e-6, backend="auto"):
+    """Build the LAGGED-JACOBIAN RTI step pair: Jacobians A/B are
+    refreshed every k-th control step and REUSED (shifted along the
+    horizon) in between, while the defect rollout — and with it the
+    solution manifold — is recomputed exactly every step.
+
+    This is the second classic inexact-Jacobian RTI trade (the first,
+    cheap-integrator tangents, is ``jac_integrator="heun"``): Gauss-
+    Newton only needs A/B to define the STEP OPERATOR, not the fixed
+    point — defects entering the QP's constraint right-hand side are
+    what the converged trajectory satisfies. A stale A/B perturbs the
+    contraction rate, not the manifold; after a shift the carried
+    trajectory changes little per step, so one linearize amortizes over
+    k steps. The tangent pass is ~20/21 of the linearize cost
+    (tpcg/models/rbd_lane.py), which is itself the dominant term of the
+    full RTI step — measured step cost goes from
+    ``linearize + core`` to ``rollout + core`` on reuse steps.
+
+    Returns ``(lin, qp_reuse, defect)``:
+
+    * ``lin(X, U) -> (A, B)`` — the full lane-major tangent pass;
+    * ``qp_reuse(X, U, x_measured, lam0, A, B) -> (dx, du, res)`` — one
+      warm-started QP with injected Jacobians and a FRESH exact defect
+      rollout (``TrajOptProblem.rollout`` when provided, else
+      ``vmap(dynamics)``);
+    * ``defect(X, U)`` — max-norm defect diagnostic.
+
+    Use via ``simulate(..., jac_refresh_every=k)`` or drive the pair
+    directly for a serving loop."""
+    from tpcg.models.sqp import _linearize
+
+    config = config or PCGConfig(exit_tol=1e-8, max_iter=200,
+                                 preconditioner="symmetric_stair")
+
+    @jax.jit
+    def lin(X, U):
+        A, B, _F = _linearize(p, X, U)
+        return A, B
+
+    @jax.jit
+    def qp_reuse(X, U, xi, lam0, A, B):
+        d = _defects(p, X, U)
+        return _qp_step(p, X, U, reg, config, x_init=xi, lam0=lam0,
+                        backend=backend, _lin=(A, B, d))
+
+    defect = jax.jit(lambda X, U: jnp.max(jnp.abs(_defects(p, X, U))))
+    return lin, qp_reuse, defect
+
+
 def rti_init(p: TrajOptProblem, x0) -> RTIState:
     K, n = p.Q.shape[0], p.Q.shape[-1]
     m = p.R.shape[-1]
@@ -229,7 +280,8 @@ def simulate(p: TrajOptProblem, x0, n_steps: int, *,
              plant: Optional[Callable] = None,
              config: Optional[PCGConfig] = None, reg: float = 1e-6,
              alpha: float = 1.0, warm_start_lam: bool = True,
-             u_lo=None, u_hi=None, rho: float = 50.0) -> RTIResult:
+             u_lo=None, u_hi=None, rho: float = 50.0,
+             jac_refresh_every: int = 1) -> RTIResult:
     """Closed-loop RTI-MPC rollout: ``n_steps`` control periods of one QP
     each, applied to ``plant`` (default: the problem's own dynamics).
 
@@ -239,14 +291,64 @@ def simulate(p: TrajOptProblem, x0, n_steps: int, *,
 
     ``warm_start_lam=False`` zeroes the carried multipliers each step —
     the ablation knob for measuring what the reference's h_lambda
-    warm-start pattern is worth in inner iterations."""
+    warm-start pattern is worth in inner iterations.
+
+    ``jac_refresh_every=k > 1`` runs the LAGGED-JACOBIAN mode
+    (:func:`rti_setup_lagged`): the trajectory linearization is computed
+    on every k-th step and shifted/reused in between, while defects (and
+    therefore the solution manifold) stay exact every step — the
+    amortized serving trade for linearize-bound problems. Not combinable
+    with actuator bounds yet."""
+    if jac_refresh_every < 1:
+        raise ValueError(f"jac_refresh_every must be >= 1, "
+                         f"got {jac_refresh_every}")
+    if jac_refresh_every > 1 and u_lo is not None:
+        raise ValueError("jac_refresh_every > 1 with actuator bounds is "
+                         "not plumbed; use jac_refresh_every=1")
     plant = plant or p.dynamics
     plant_j = jax.jit(plant)
+    x = jnp.asarray(x0, p.Q.dtype)
+    xs, us, iters, defs = [], [], [], []
+
+    if jac_refresh_every > 1:
+        lin, qp_reuse, defect = rti_setup_lagged(p, config=config, reg=reg)
+        state = rti_init(p, x0)
+        shift_AB = jax.jit(lambda A, B: (_shift_rows(A), _shift_rows(B)))
+        A = B = None
+        for i in range(n_steps):
+            if not warm_start_lam:
+                state = state._replace(lam=jnp.zeros_like(state.lam))
+            state = state._replace(X=state.X.at[0].set(x))
+            if i % jac_refresh_every == 0:
+                A, B = lin(state.X, state.U)
+            else:
+                # shift the cached Jacobians with the horizon: after the
+                # RTI shift, knot k of the new guess is near knot k+1 of
+                # the old one, so the shifted A/B are the closer stale set
+                A, B = shift_AB(A, B)
+            dx, du, res = qp_reuse(state.X, state.U, x, state.lam, A, B)
+            X = state.X + alpha * dx
+            U = state.U + alpha * du
+            u0 = U[0]
+            state = RTIState(X=_shift_rows(X), U=_shift_rows(U),
+                             lam=_shift_rows(res.lam),
+                             step=state.step + 1,
+                             total_pcg_iters=(state.total_pcg_iters
+                                              + res.iters),
+                             lam_u_lo=state.lam_u_lo,
+                             lam_u_hi=state.lam_u_hi)
+            x = plant_j(x, u0)
+            xs.append(x)
+            us.append(u0)
+            iters.append(res.iters)
+            defs.append(defect(state.X, state.U))
+        return RTIResult(xs=jnp.stack(xs), us=jnp.stack(us),
+                         pcg_iters=jnp.stack(iters),
+                         defects=jnp.stack(defs), state=state)
+
     qp, defect = rti_setup(p, config=config, reg=reg, u_lo=u_lo, u_hi=u_hi)
     bounds = None if u_lo is None else (u_lo, u_hi)
     state = rti_init(p, x0)
-    x = jnp.asarray(x0, p.Q.dtype)
-    xs, us, iters, defs = [], [], [], []
     for _ in range(n_steps):
         if not warm_start_lam:
             state = state._replace(lam=jnp.zeros_like(state.lam))

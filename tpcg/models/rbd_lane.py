@@ -238,6 +238,24 @@ def _euler_t(cs, x, u, dt):
 _JAC_STEPS = {"rk4": _rk4_t, "heun": _heun_t, "euler": _euler_t}
 
 
+def make_lane_rollout(model: ChainModel, dt: float):
+    """Build ``rollout(X, U) -> F (K-1, n)`` — the primal-only RK4 pass
+    over the K-trailing dynamics, for injection via
+    ``TrajOptProblem.rollout``. Exactly the primal half of
+    :func:`make_lane_linearizer` (same ``_rk4_t`` graph, bit-identical
+    semantics), with no tangent columns — the cheap piece lagged-Jacobian
+    RTI recomputes every control step while A/B are reused (measured: the
+    21-column tangent pass is ~20/21 of the linearize cost)."""
+    cs = _np_consts(model)
+    n2 = 2 * cs["n"]
+
+    def rollout(X, U):
+        xu = jnp.concatenate([X[:-1].T, U.astype(X.dtype).T], axis=0)
+        return _rk4_t(cs, xu[:n2], xu[n2:], dt).T
+
+    return rollout
+
+
 def make_lane_linearizer(model: ChainModel, dt: float,
                          jac_integrator: str = "rk4"):
     """Build ``linearize(X, U) -> (A, B, F)`` for injection via

@@ -305,10 +305,12 @@ def manipulator_reach_problem(K: int = 32, dt: float = 0.02,
     r = jnp.zeros((K - 1, m), dtype)
     dyn = lambda x, u: rk4_step(model, x, u, dt)
     x_init = jnp.zeros(n, dtype)
-    lin = None
+    lin = roll = None
     if lane_linearizer:
-        from tpcg.models.rbd_lane import make_lane_linearizer
+        from tpcg.models.rbd_lane import (make_lane_linearizer,
+                                          make_lane_rollout)
         lin = make_lane_linearizer(model, dt,
                                    jac_integrator=jac_integrator)
+        roll = make_lane_rollout(model, dt)
     return TrajOptProblem(dynamics=dyn, Q=Q, q=q_lin, R=R, r=r,
-                          x_init=x_init, linearize=lin)
+                          x_init=x_init, linearize=lin, rollout=roll)

@@ -52,6 +52,13 @@ class TrajOptProblem(NamedTuple):
         ``f(x_k, u_k)``. Model families with structure to exploit
         (:func:`tpcg.models.rbd_lane.make_lane_linearizer`) inject it
         here; semantics must match ``dynamics`` to f32 roundoff.
+      rollout: optional ``(X, U) -> F (K-1, n)`` primal-only rollout
+        (``f(x_k, u_k)`` with no tangents), same override contract as
+        ``linearize``. Used where defects are needed WITHOUT fresh
+        Jacobians — the lagged-Jacobian RTI mode
+        (:func:`tpcg.models.nmpc.rti_setup_lagged`) recomputes defects
+        exactly every control step while reusing A/B across steps, and
+        the tangent pass is ~20/21 of the linearize cost.
     """
     dynamics: Callable
     Q: jax.Array
@@ -60,6 +67,7 @@ class TrajOptProblem(NamedTuple):
     r: jax.Array
     x_init: jax.Array
     linearize: Optional[Callable] = None
+    rollout: Optional[Callable] = None
 
 
 class SQPResult(NamedTuple):
@@ -91,6 +99,8 @@ def _objective(p: TrajOptProblem, X, U):
 
 def _defects(p: TrajOptProblem, X, U):
     """f(x_k, u_k) - x_{k+1} for k = 0..K-2, shape (K-1, n)."""
+    if p.rollout is not None:
+        return p.rollout(X, U) - X[1:]
     return jax.vmap(p.dynamics)(X[:-1], U) - X[1:]
 
 

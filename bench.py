@@ -661,6 +661,11 @@ def main():
     # rows are the reference's downstream-consumer metric). The NMPC group
     # is four small stages so each fits a per-stage timeout even with a
     # cold compile cache (the round-4 monolithic stage never finished).
+    # nmpc_core gets a longer leash: its pure-XLA chained executable is
+    # the slowest single compile in the suite (observed >280 s cold, so a
+    # fixed 280 s timeout can never converge — the same compile restarts
+    # from scratch each retry and dies at the same point)
+    stage_cap = {"nmpc_core": 420}
     for name in ("nmpc_step", "nmpc_heun", "nmpc_core", "fleet128",
                  "golden", "nmpc_lagged", "nmpc_fleet", "scale",
                  "fleet32"):
@@ -668,7 +673,8 @@ def main():
         if left < 90:
             err(f"## budget exhausted — skipping {name} and beyond")
             break
-        _run_stage(name, out, timeout=min(280, left - 10), tries=2)
+        _run_stage(name, out, timeout=min(stage_cap.get(name, 280),
+                                          left - 10), tries=2)
 
     # a stage that stalls mid-flight leaves its pre-stall rows behind and
     # re-appends them on the retry — dedupe by name, keeping the LAST

@@ -164,6 +164,28 @@ def test_stair_refined_through_public_api_jnp_and_pallas():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_prebuilt_banded_pinv_through_pcg_solve():
+    """The fixed-S workflow: a PREBUILT BlockBanded Pinv passed explicitly
+    to pcg_solve must match the config-built stair_refined route exactly.
+    Regression: _as_bt used to jnp.asarray the BlockBanded NamedTuple,
+    stacking its single field into a bogus leading dim and failing the
+    materialize shape check."""
+    S, g = _spd(5, 16, seed=13)
+    cfg = PCGConfig(exit_tol=1e-7, max_iter=200,
+                    preconditioner="stair_refined")
+    r_cfg = pcg_solve(S, g, config=cfg, backend="jnp")
+    Pb = precond.stair_refined(S, levels=1)
+    r_pre = pcg_solve(S, g, config=cfg, Pinv=Pb, backend="jnp")
+    assert bool(r_pre.converged)
+    assert int(r_pre.iters) == int(r_cfg.iters)
+    np.testing.assert_allclose(np.asarray(r_pre.lam),
+                               np.asarray(r_cfg.lam), rtol=1e-6, atol=1e-7)
+    # raw banded pages (a plain array with D=2*band+1 > 3) are inferred
+    # as BlockBanded too
+    r_raw = pcg_solve(S, g, config=cfg, Pinv=Pb.pages, backend="jnp")
+    assert int(r_raw.iters) == int(r_cfg.iters)
+
+
 def test_stair_refined_batched_routes_through_grid_kernel():
     """Batched solves with a banded Pinv skip the (cbtd-only) packed kernel
     and run the grid-batched kernel; per-system results match the jnp

@@ -39,9 +39,17 @@ BACKENDS = ("auto", "jnp", "pallas")
 
 
 def _as_bt(S) -> BlockTridiag:
-    if isinstance(S, BlockTridiag):
+    from tpcg.types import BlockBanded
+
+    if isinstance(S, (BlockTridiag, BlockBanded)):
+        # pass banded containers through untouched: jnp.asarray on the
+        # NamedTuple would stack its single field into a bogus leading
+        # dim, breaking the prebuilt stair_refined fixed-S workflow
         return S
-    return BlockTridiag(jnp.asarray(S))
+    arr = jnp.asarray(S)
+    if arr.ndim >= 4 and arr.shape[-3] > 3 and arr.shape[-3] % 2 == 1:
+        return BlockBanded(arr)  # raw banded pages (D = 2*band+1 > 3)
+    return BlockTridiag(arr)
 
 
 def _jnp_solver(method: str):

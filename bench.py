@@ -521,6 +521,29 @@ def stage_nmpc_lagged(out):
                     "us": (t_r + t_l / k) * 1e6, "iters": int(r_r.iters),
                     "conv": bool(r_r.converged), "xla_us": float("nan")})
 
+    # (c) reuse step with the PRECONDITIONER lagged too (lag_pinv=True):
+    # stale banded stair_refined Phi^-1 from the refresh trajectory —
+    # stronger spectrum on reuse steps at zero build cost (Pinv is
+    # genuinely loop-invariant in serving, so it rides the chain
+    # unperturbed by design)
+    lin_p, qp_reuse_p, _d2 = nmpc.rti_setup_lagged(p_h, config=cfg_n,
+                                                   lag_pinv=True)
+    A1, B1, Pp = lin_p(st.X, st.U, st.X[0])
+
+    def reuse_pinv_fn(A_, B_, g_, l_):
+        eps = g_[0, 0] - g_carrier[0, 0]
+        dx, du, res = qp_reuse_p(st.X + g_ * 1e-20, st.U, g_[0], l_,
+                                 A_, B_ + eps, Pp)
+        return res
+
+    r_p = reuse_pinv_fn(A1, B1, g_carrier, st.lam)
+    t_p = device_solve_time(reuse_pinv_fn, A1, B1, g_carrier, st.lam,
+                            repeats=128, lo_repeats=16, reps=5)
+    _emit(out, {"name": "NMPC lagged-RTI REUSE step, lagged "
+                        "stair_refined Pinv",
+                "us": t_p * 1e6, "iters": int(r_p.iters),
+                "conv": bool(r_p.converged), "xla_us": float("nan")})
+
 
 def stage_nmpc_core(out):
     """The QP CORE at a fixed linearization: LQR-KKT assembly + Schur

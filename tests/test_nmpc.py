@@ -147,6 +147,17 @@ def test_rti_lagged_jacobians_track_exact_loop():
     # the absolute value is transient-dominated at this short horizon)
     assert float(lag.defects[-1]) < 1.5 * float(exact.defects[-1]) + 1e-3
 
+    # lag_pinv: the lagged stair_refined preconditioner (rebuilt at each
+    # refresh, reused stale in between) must preserve the closed loop —
+    # preconditioning is semantics-free — and not cost inner iterations
+    # (measured on-chip: it SAVES them; here we assert no blowup)
+    lagp = nmpc.simulate(p, x0, n_steps=8, config=cfg,
+                         jac_refresh_every=3, lag_pinv=True)
+    errp = np.abs(np.asarray(lagp.xs) - np.asarray(exact.xs)).max()
+    assert errp / scale < 2e-2, errp
+    assert int(np.asarray(lagp.pcg_iters).sum()) <= \
+        int(np.asarray(lag.pcg_iters).sum()) + 16
+
 
 def test_fleet_rti_matches_per_robot_loops():
     """Multi-robot serving (nmpc.simulate_fleet): B robots advanced by one

@@ -94,7 +94,8 @@ def rti_setup(p: TrajOptProblem, *, config: Optional[PCGConfig] = None,
 
 def rti_setup_lagged(p: TrajOptProblem, *,
                      config: Optional[PCGConfig] = None,
-                     reg: float = 1e-6, backend="auto"):
+                     reg: float = 1e-6, backend="auto",
+                     lag_pinv: bool = False):
     """Build the LAGGED-JACOBIAN RTI step pair: Jacobians A/B are
     refreshed every k-th control step and REUSED (shifted along the
     horizon) in between, while the defect rollout — and with it the
@@ -121,23 +122,55 @@ def rti_setup_lagged(p: TrajOptProblem, *,
       ``vmap(dynamics)``);
     * ``defect(X, U)`` — max-norm defect diagnostic.
 
-    Use via ``simulate(..., jac_refresh_every=k)`` or drive the pair
-    directly for a serving loop."""
-    from tpcg.models.sqp import _linearize
+    With ``lag_pinv=True`` the PRECONDITIONER is lagged too: ``lin``
+    additionally assembles the Schur system at the refresh trajectory and
+    materializes a banded ``stair_refined`` Phi^-1 from it
+    (tpcg.precond.stair_refined — page array returned alongside A/B), and
+    ``qp_reuse`` takes those pages as a trailing argument. A stale Phi^-1
+    changes only the inner iteration count, never the QP solution
+    (preconditioning is semantics-free), and measured on the iiwa14 K=128
+    Schur system a one-step-stale stair_refined costs ZERO extra
+    iterations while cutting them 44 -> 33 vs the in-kernel stair
+    (scripts/exp_qp_refined.py) — so reuse steps get the stronger
+    spectrum without paying any build.
+
+    Use via ``simulate(..., jac_refresh_every=k[, lag_pinv=True])`` or
+    drive the pair directly for a serving loop."""
+    from tpcg.models.sqp import _build_qp, _linearize
+    from tpcg.models.lqr_kkt import schur_system
 
     config = config or PCGConfig(exit_tol=1e-8, max_iter=200,
                                  preconditioner="symmetric_stair")
 
-    @jax.jit
-    def lin(X, U):
-        A, B, _F = _linearize(p, X, U)
-        return A, B
+    if lag_pinv:
+        from tpcg import precond
+        from tpcg.types import BlockBanded
 
-    @jax.jit
-    def qp_reuse(X, U, xi, lam0, A, B):
-        d = _defects(p, X, U)
-        return _qp_step(p, X, U, reg, config, x_init=xi, lam0=lam0,
-                        backend=backend, _lin=(A, B, d))
+        @jax.jit
+        def lin(X, U, xi):
+            A, B, F = _linearize(p, X, U)
+            d = F - X[1:]
+            qp = _build_qp(p, X, U, reg, x_init=xi, _lin=(A, B, d))
+            S, _gamma = schur_system(qp)
+            return A, B, precond.stair_refined(S, levels=1).pages
+
+        @jax.jit
+        def qp_reuse(X, U, xi, lam0, A, B, Pinv_pages):
+            d = _defects(p, X, U)
+            return _qp_step(p, X, U, reg, config, x_init=xi, lam0=lam0,
+                            backend=backend, _lin=(A, B, d),
+                            Pinv=BlockBanded(Pinv_pages))
+    else:
+        @jax.jit
+        def lin(X, U):
+            A, B, _F = _linearize(p, X, U)
+            return A, B
+
+        @jax.jit
+        def qp_reuse(X, U, xi, lam0, A, B):
+            d = _defects(p, X, U)
+            return _qp_step(p, X, U, reg, config, x_init=xi, lam0=lam0,
+                            backend=backend, _lin=(A, B, d))
 
     defect = jax.jit(lambda X, U: jnp.max(jnp.abs(_defects(p, X, U))))
     return lin, qp_reuse, defect
@@ -281,7 +314,8 @@ def simulate(p: TrajOptProblem, x0, n_steps: int, *,
              config: Optional[PCGConfig] = None, reg: float = 1e-6,
              alpha: float = 1.0, warm_start_lam: bool = True,
              u_lo=None, u_hi=None, rho: float = 50.0,
-             jac_refresh_every: int = 1) -> RTIResult:
+             jac_refresh_every: int = 1,
+             lag_pinv: bool = False) -> RTIResult:
     """Closed-loop RTI-MPC rollout: ``n_steps`` control periods of one QP
     each, applied to ``plant`` (default: the problem's own dynamics).
 
@@ -297,7 +331,10 @@ def simulate(p: TrajOptProblem, x0, n_steps: int, *,
     (:func:`rti_setup_lagged`): the trajectory linearization is computed
     on every k-th step and shifted/reused in between, while defects (and
     therefore the solution manifold) stay exact every step — the
-    amortized serving trade for linearize-bound problems. Not combinable
+    amortized serving trade for linearize-bound problems. ``lag_pinv``
+    additionally lags a materialized ``stair_refined`` preconditioner
+    built at each refresh (stronger spectrum on reuse steps at zero build
+    cost; staleness only affects inner iteration counts). Not combinable
     with actuator bounds yet."""
     if jac_refresh_every < 1:
         raise ValueError(f"jac_refresh_every must be >= 1, "
@@ -305,28 +342,44 @@ def simulate(p: TrajOptProblem, x0, n_steps: int, *,
     if jac_refresh_every > 1 and u_lo is not None:
         raise ValueError("jac_refresh_every > 1 with actuator bounds is "
                          "not plumbed; use jac_refresh_every=1")
+    if lag_pinv and jac_refresh_every == 1:
+        raise ValueError("lag_pinv requires jac_refresh_every > 1 (it "
+                         "lags the preconditioner across reuse steps)")
     plant = plant or p.dynamics
     plant_j = jax.jit(plant)
     x = jnp.asarray(x0, p.Q.dtype)
     xs, us, iters, defs = [], [], [], []
 
     if jac_refresh_every > 1:
-        lin, qp_reuse, defect = rti_setup_lagged(p, config=config, reg=reg)
+        lin, qp_reuse, defect = rti_setup_lagged(p, config=config, reg=reg,
+                                                 lag_pinv=lag_pinv)
         state = rti_init(p, x0)
         shift_AB = jax.jit(lambda A, B: (_shift_rows(A), _shift_rows(B)))
-        A = B = None
+        A = B = Pp = None
         for i in range(n_steps):
             if not warm_start_lam:
                 state = state._replace(lam=jnp.zeros_like(state.lam))
             state = state._replace(X=state.X.at[0].set(x))
             if i % jac_refresh_every == 0:
-                A, B = lin(state.X, state.U)
+                if lag_pinv:
+                    A, B, Pp = lin(state.X, state.U, x)
+                else:
+                    A, B = lin(state.X, state.U)
             else:
                 # shift the cached Jacobians with the horizon: after the
                 # RTI shift, knot k of the new guess is near knot k+1 of
-                # the old one, so the shifted A/B are the closer stale set
+                # the old one, so the shifted A/B are the closer stale
+                # set. The lagged Pinv is NOT shifted: a preconditioner
+                # need not track the system at all, and the banded pages'
+                # boundary rows are knot-position-dependent (a shift
+                # would corrupt the first/last bands).
                 A, B = shift_AB(A, B)
-            dx, du, res = qp_reuse(state.X, state.U, x, state.lam, A, B)
+            if lag_pinv:
+                dx, du, res = qp_reuse(state.X, state.U, x, state.lam,
+                                       A, B, Pp)
+            else:
+                dx, du, res = qp_reuse(state.X, state.U, x, state.lam,
+                                       A, B)
             X = state.X + alpha * dx
             U = state.U + alpha * du
             u0 = U[0]

@@ -215,7 +215,7 @@ def _build_qp(p: TrajOptProblem, X, U, reg, bounds=None, al=None,
 
 
 def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None,
-             x_init=None, lam0=None, backend="auto", _lin=None):
+             x_init=None, lam0=None, backend="auto", _lin=None, Pinv=None):
     """One Gauss-Newton QP: assemble the delta-form LQRProblem and PCG-solve
     its Schur complement. Returns (dx, du, pcg_result).
 
@@ -225,12 +225,18 @@ def _qp_step(p: TrajOptProblem, X, U, reg, config, bounds=None, al=None,
     across MPC steps). ``_lin=(A, B, d)`` injects a precomputed
     linearization (bench/diagnostics: isolates the QP core — assembly +
     solve + recovery — from the dynamics-autodiff cost, which dominates
-    the full step on TPU for deep rigid-body graphs)."""
+    the full step on TPU for deep rigid-body graphs). ``Pinv`` injects an
+    explicit (possibly stale) preconditioner — a stale Phi^-1 changes only
+    the inner iteration count, never the QP solution, so serving loops can
+    rebuild it every k-th step (measured on the iiwa14 K=128 Schur system:
+    a one-step-stale stair_refined Pinv costs ZERO extra iterations,
+    scripts/exp_qp_refined.py)."""
     from tpcg.solver.api import pcg_solve
 
     qp = _build_qp(p, X, U, reg, bounds, al, x_init, _lin)
     S, gamma = schur_system(qp)
-    res = pcg_solve(S, gamma, lam0, config=config, backend=backend)
+    res = pcg_solve(S, gamma, lam0, config=config, backend=backend,
+                    Pinv=Pinv)
     dx, du = recover_primal(qp, res.lam)
     return dx, du, res
 

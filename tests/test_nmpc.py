@@ -184,3 +184,27 @@ def test_fleet_rti_matches_per_robot_loops():
         np.testing.assert_allclose(np.asarray(fleet.xs[:, b]),
                                    np.asarray(single.xs),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fleet_lagged_matches_per_robot_lagged_loops():
+    """simulate_fleet(jac_refresh_every=k) must reproduce the per-robot
+    single lagged loops exactly on the jnp backend (the fleet lagged path
+    is the vmapped single path + the jointly-solved packed QP)."""
+    from tpcg.models.rigid_body import manipulator_reach_problem
+    from tpcg.types import PCGConfig
+
+    cfg = PCGConfig(exit_tol=1e-6, max_iter=150,
+                    preconditioner="symmetric_stair")
+    p = manipulator_reach_problem(K=10, dt=0.01)
+    rng = np.random.default_rng(1)
+    B = 2
+    x0s = jnp.asarray(rng.uniform(-0.1, 0.1, (B, 14)), jnp.float32)
+    fleet = nmpc.simulate_fleet(p, x0s, n_steps=4, config=cfg,
+                                backend="jnp", jac_refresh_every=2)
+    assert bool(jnp.all(jnp.isfinite(fleet.xs)))
+    for b in range(B):
+        single = nmpc.simulate(p, x0s[b], n_steps=4, config=cfg,
+                               jac_refresh_every=2)
+        np.testing.assert_allclose(np.asarray(fleet.xs[:, b]),
+                                   np.asarray(single.xs),
+                                   rtol=1e-5, atol=1e-6)

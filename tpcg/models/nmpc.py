@@ -264,20 +264,89 @@ def rti_setup_fleet(p: TrajOptProblem, *,
     return qp_fleet, defect_fleet
 
 
+def rti_setup_fleet_lagged(p: TrajOptProblem, *,
+                           config: Optional[PCGConfig] = None,
+                           reg: float = 1e-6, backend: str = "auto"):
+    """Fleet analog of :func:`rti_setup_lagged`: ``B`` robots advance by
+    one jointly-solved QP per control period with their trajectory
+    Jacobians refreshed every k-th step and shifted/reused in between,
+    while each robot's defect rollout stays exact every step (the
+    manifold-preserving split — see :func:`rti_setup_lagged`).
+
+    Returns ``(lin_fleet, qp_reuse_fleet, defect_fleet)``:
+
+    * ``lin_fleet(X (B,K,n), U (B,K-1,m)) -> (A (B,K-1,n,n),
+      Bm (B,K-1,n,m))`` — the vmapped lane-major tangent pass;
+    * ``qp_reuse_fleet(X, U, x_measured (B,n), lam0 (B,K,n), A, Bm)
+      -> (dx, du, PCGResult)`` — fresh exact defects per robot, the B
+      Schur systems solved jointly in the lane-packed batched kernel;
+    * ``defect_fleet(X, U) -> (B,)`` max-norm defects.
+
+    Measured single-robot (scripts/exp_stepcheck.py): the reuse step is
+    rollout + QP core instead of linearize + QP core, and the tangent
+    pass is the dominant term — the same amortization per robot, with
+    the packed kernel's joint-solve amortizing the scalar latency across
+    the fleet."""
+    from tpcg.models.lqr_kkt import recover_primal, schur_system
+    from tpcg.models.sqp import _build_qp, _linearize
+    from tpcg.solver.api import pcg_solve_batched
+
+    config = config or PCGConfig(exit_tol=1e-8, max_iter=200,
+                                 preconditioner="symmetric_stair")
+
+    @jax.jit
+    def lin_fleet(X, U):
+        A, Bm, _F = jax.vmap(lambda X_, U_: _linearize(p, X_, U_))(X, U)
+        return A, Bm
+
+    @jax.jit
+    def qp_reuse_fleet(X, U, x_measured, lam0, A, Bm):
+        d = jax.vmap(lambda X_, U_: _defects(p, X_, U_))(X, U)
+        qp = jax.vmap(
+            lambda X_, U_, xi_, A_, B_, d_: _build_qp(
+                p, X_, U_, reg, x_init=xi_, _lin=(A_, B_, d_)))(
+            X, U, x_measured, A, Bm, d)
+        S, gamma = jax.vmap(schur_system)(qp)
+        res = pcg_solve_batched(S.blocks, gamma, lam0, config=config,
+                                backend=backend)
+        dx, du = jax.vmap(recover_primal)(qp, res.lam)
+        return dx, du, res
+
+    defect_fleet = jax.jit(jax.vmap(
+        lambda X_, U_: jnp.max(jnp.abs(_defects(p, X_, U_)))))
+    return lin_fleet, qp_reuse_fleet, defect_fleet
+
+
 def simulate_fleet(p: TrajOptProblem, x0s, n_steps: int, *,
                    plant: Optional[Callable] = None,
                    config: Optional[PCGConfig] = None,
                    reg: float = 1e-6, alpha: float = 1.0,
-                   backend: str = "auto") -> RTIResult:
+                   backend: str = "auto",
+                   jac_refresh_every: int = 1) -> RTIResult:
     """Closed-loop RTI-MPC for a fleet: ``x0s (B, n)`` initial states,
     one jointly-solved QP per control period for all ``B`` robots
     (:func:`rti_setup_fleet`). Returns an :class:`RTIResult` whose
     ``xs``/``us``/``pcg_iters`` carry shapes ``(T, B, n)`` / ``(T, B, m)``
-    / ``(T, B)`` and whose state fields have a leading ``B`` axis."""
+    / ``(T, B)`` and whose state fields have a leading ``B`` axis.
+
+    ``jac_refresh_every=k > 1`` lags the per-robot Jacobians
+    (:func:`rti_setup_fleet_lagged`): refreshed jointly every k-th step,
+    shifted with each robot's horizon in between, defects exact every
+    step."""
+    if jac_refresh_every < 1:
+        raise ValueError(f"jac_refresh_every must be >= 1, "
+                         f"got {jac_refresh_every}")
     plant = plant or p.dynamics
     plant_v = jax.jit(jax.vmap(plant))
-    qp, defect = rti_setup_fleet(p, config=config, reg=reg,
-                                 backend=backend)
+    lagged = jac_refresh_every > 1
+    if lagged:
+        lin_f, qp_reuse_f, defect = rti_setup_fleet_lagged(
+            p, config=config, reg=reg, backend=backend)
+        shift_AB = jax.jit(lambda A, Bm: (
+            jax.vmap(_shift_rows)(A), jax.vmap(_shift_rows)(Bm)))
+    else:
+        qp, defect = rti_setup_fleet(p, config=config, reg=reg,
+                                     backend=backend)
     K, n = p.Q.shape[0], p.Q.shape[-1]
     m = p.R.shape[-1]
     dt_ = p.Q.dtype
@@ -289,9 +358,17 @@ def simulate_fleet(p: TrajOptProblem, x0s, n_steps: int, *,
     total_iters = jnp.zeros((), jnp.int32)
     xs, us, iters, defs = [], [], [], []
     shift = jax.jit(jax.vmap(_shift_rows))
-    for _ in range(n_steps):
+    A = Bm = None
+    for i in range(n_steps):
         X = X.at[:, 0].set(x)  # re-anchor each robot at its measured state
-        dx, du, res = qp(X, U, x, lam)
+        if lagged:
+            if i % jac_refresh_every == 0:
+                A, Bm = lin_f(X, U)
+            else:
+                A, Bm = shift_AB(A, Bm)
+            dx, du, res = qp_reuse_f(X, U, x, lam, A, Bm)
+        else:
+            dx, du, res = qp(X, U, x, lam)
         Xn, Un = X + alpha * dx, U + alpha * du
         u0 = Un[:, 0]          # apply the FIRST control of the new plan
         X, U, lam = shift(Xn), shift(Un), shift(res.lam)

@@ -474,7 +474,7 @@ def stage_nmpc_lagged(out):
     the amortized serving trade for the linearize-bound step."""
     jax, jnp, nmpc, p_n, cfg_n, st, g_carrier = _nmpc_setup()
     from tpcg.models.rigid_body import manipulator_reach_problem
-    from tpcg.types import PCGResult
+    from tpcg.types import PCGConfig, PCGResult
     from tpcg.utils.timing import device_solve_time
 
     err("# running: NMPC lagged-Jacobian RTI")
@@ -543,6 +543,29 @@ def stage_nmpc_lagged(out):
                         "stair_refined Pinv",
                 "us": t_p * 1e6, "iters": int(r_p.iters),
                 "conv": bool(r_p.converged), "xla_us": float("nan")})
+
+    # (d) the SERVING contract: tol 1e-6 (the fleet rows' tolerance) +
+    # replace_every=0 (validated convergent at this QP's depth,
+    # scripts/exp_replace0_qp.py) — the per-robot reuse-step cost a
+    # deployment actually pays
+    cfg_s = PCGConfig(exit_tol=1e-6, max_iter=200,
+                      preconditioner="symmetric_stair",
+                      method="pipelined", replace_every=0)
+    lin_s, qp_reuse_s, _d3 = nmpc.rti_setup_lagged(p_h, config=cfg_s)
+
+    def reuse_serving_fn(A_, B_, g_, l_):
+        eps = g_[0, 0] - g_carrier[0, 0]
+        dx, du, res = qp_reuse_s(st.X + g_ * 1e-20, st.U, g_[0], l_,
+                                 A_, B_ + eps)
+        return res
+
+    r_s2 = reuse_serving_fn(A0, B0, g_carrier, st.lam)
+    t_s2 = device_solve_time(reuse_serving_fn, A0, B0, g_carrier, st.lam,
+                             repeats=128, lo_repeats=16, reps=5)
+    _emit(out, {"name": "NMPC lagged-RTI REUSE step, serving contract "
+                        "(tol 1e-6, replace0)",
+                "us": t_s2 * 1e6, "iters": int(r_s2.iters),
+                "conv": bool(r_s2.converged), "xla_us": float("nan")})
 
 
 def stage_nmpc_core(out):

@@ -149,6 +149,19 @@ def stage_headline(out, quick=False):
                                   config=PCGConfig(**cfg))
         return f
 
+    # XLA baseline FIRST: it is the stable anchor (its chained calls run
+    # ~260 ms of device work each, far above the transport's ~ms-scale
+    # timing artifacts — measured 127.9/130.9/128.9 us across sessions),
+    # and having t_x up front lets the headline summary row be emitted
+    # INCREMENTALLY after every variant, so a relay stall mid-stage still
+    # leaves a publishable (conservative) headline in the rows file.
+    err("# running: iiwa14 K=128 XLA baseline")
+    t_x = device_solve_time(xla_fn, S.blocks, Pb, g, l0, repeats=rpt,
+                            reps=reps)
+    _emit(out, {"name": "iiwa14 n=14 K=128 pure-XLA while_loop (baseline)",
+                "us": t_x * 1e6, "iters": -1, "conv": True,
+                "xla_us": t_x * 1e6})
+
     variants = [
         ("iiwa14 K=128 in-kernel build+solve", make("classic")),
         ("iiwa14 K=128 pipelined build+solve", make("pipelined")),
@@ -166,17 +179,45 @@ def stage_headline(out, quick=False):
                               replace_every=0)))
 
     best = None
-    times = {}
+    best_f = None
     for name, f in variants:
         err(f"# running: {name}")
         r = f(S.blocks, None, g, l0)
         kw = (dict(repeats=min(rpt, 512), lo_repeats=64, reps=reps)
               if "stair_refined" in name else dict(repeats=rpt, reps=reps))
         t = device_solve_time(f, S.blocks, S.blocks, g, l0, **kw)
-        times[name] = t
         _emit(out, {"name": name, "us": t * 1e6, "iters": int(r.iters),
                     "conv": bool(r.converged), "xla_us": float("nan")})
-        best = t if best is None else min(best, t)
+        if best is None or t < best:
+            best, best_f, best_name = t, f, name
+        _emit(out, {"headline_fused_s": best, "headline_xla_s": t_x})
+
+    # PHASE-ARTIFACT-ROBUST re-measure of the winner. The transport
+    # occasionally slips call timing by ~ms-scale CONSTANTS (observed:
+    # the same replace0 config measured 4.4 / 7.6 / 11.0 us across runs
+    # at short chains, while the 260 ms-per-call XLA baseline never
+    # moves); a 2048-solve chain of a ~10 us kernel is only ~20 ms of
+    # device work, so such a slip corrupts the two-point slope by
+    # several us. Re-measure the winning variant with the chain sized to
+    # >= ~100 ms per call, bounding the artifact below ~1 us/solve, and
+    # publish THAT value whether it is faster or slower.
+    # quantized to powers of two so the chained executable's trace key is
+    # stable across runs (the compile cache stays warm)
+    rpt2 = 4096
+    while rpt2 * best < 0.1 and rpt2 < 32768:
+        rpt2 *= 2
+    kw2 = (dict(repeats=min(rpt2, 4096), lo_repeats=256, reps=reps)
+           if "stair_refined" in best_name
+           else dict(repeats=rpt2, lo_repeats=max(64, rpt2 // 8),
+                     reps=reps))
+    t2 = device_solve_time(best_f, S.blocks, S.blocks, g, l0, **kw2)
+    err(f"# headline re-measure [{best_name}] at chain {rpt2}: "
+        f"{best * 1e6:.2f} -> {t2 * 1e6:.2f} us")
+    _emit(out, {"name": f"headline re-measure ({best_name.split()[-2]} "
+                        f"chain {rpt2})",
+                "us": t2 * 1e6, "iters": -1, "conv": True,
+                "xla_us": float("nan")})
+    _emit(out, {"headline_fused_s": t2, "headline_xla_s": t_x})
 
     # zero-sync bounded-latency mode (NOT headline-eligible: a fixed-budget
     # contract, not the adaptive-tolerance one)
@@ -190,13 +231,6 @@ def stage_headline(out, quick=False):
                 "us": t_fp * 1e6, "iters": int(r_fp.iters),
                 "conv": bool(r_fp.converged), "xla_us": float("nan")})
 
-    err("# running: iiwa14 K=128 XLA baseline")
-    t_x = device_solve_time(xla_fn, S.blocks, Pb, g, l0, repeats=rpt,
-                            reps=reps)
-    _emit(out, {"name": "iiwa14 n=14 K=128 pure-XLA while_loop (baseline)",
-                "us": t_x * 1e6, "iters": -1, "conv": True,
-                "xla_us": t_x * 1e6})
-
     # single-call host-side latency (includes dispatch transport)
     def one(S_, P_, g_, l_):
         return pallas_backend.pcg_pallas(S_, P_, g_, l_, exit_tol=1e-6,
@@ -205,8 +239,6 @@ def stage_headline(out, quick=False):
     _emit(out, {"name": "iiwa14 K=128 single-call host latency",
                 "us": disp * 1e6, "iters": -1, "conv": True,
                 "xla_us": float("nan")})
-
-    _emit(out, {"headline_fused_s": best, "headline_xla_s": t_x})
 
 
 def stage_golden(out):
